@@ -1,0 +1,178 @@
+"""Golden tests for voxelization kernels against a numpy reference
+implementation of the CUDA semantics (deterministic hard voxelize,
+voxelization_cuda.cu:105-180)."""
+import numpy as np
+import pytest
+
+from tpu_bev3d.ops.voxelize import (batch_hard_voxelize, dynamic_scatter,
+                                    dynamic_voxelize, hard_voxelize,
+                                    grid_shape_of)
+
+VOXEL_SIZE = (0.2, 0.2, 0.5)
+PC_RANGE = (0.0, 0.0, 0.0, 4.0, 4.0, 2.0)
+
+
+def np_hard_voxelize(points, mask, voxel_size, pc_range, max_points, max_voxels):
+    """Reference semantics: first-come-first-served per voxel, voxels ordered
+    by... (we order by linear id; the contract we test is set equality of
+    (coord -> contents), since downstream consumers are permutation
+    invariant over the voxel axis)."""
+    vs = np.asarray(voxel_size)
+    rmin = np.asarray(pc_range[:3])
+    grid = grid_shape_of(voxel_size, pc_range)
+    table = {}
+    for i in range(len(points)):
+        if not mask[i]:
+            continue
+        c = np.floor((points[i, :3] - rmin) / vs).astype(int)
+        if np.any(c < 0) or np.any(c >= np.array(grid)):
+            continue
+        key = (int(c[2]), int(c[1]), int(c[0]))  # (z,y,x)
+        lst = table.setdefault(key, [])
+        if len(lst) < max_points:
+            lst.append(points[i])
+    return table
+
+
+def make_points(rng, P=500, C=4):
+    pts = rng.uniform(-0.5, 4.5, size=(P, C)).astype(np.float32)
+    mask = rng.uniform(size=P) > 0.1
+    return pts, mask
+
+
+def test_hard_voxelize_matches_numpy(rng):
+    pts, mask = make_points(rng)
+    out = hard_voxelize(pts, mask, voxel_size=VOXEL_SIZE, pc_range=PC_RANGE,
+                        max_points=5, max_voxels=300)
+    ref = np_hard_voxelize(pts, mask, VOXEL_SIZE, PC_RANGE, 5, 300)
+    coords = np.asarray(out['coords'])
+    voxels = np.asarray(out['voxels'])
+    nump = np.asarray(out['num_points'])
+    nv = int(out['num_voxels'])
+    assert nv == len(ref)
+    got = {}
+    for v in range(nv):
+        key = tuple(int(x) for x in coords[v])
+        got[key] = voxels[v][:nump[v]]
+    assert set(got) == set(ref)
+    for key in ref:
+        ref_pts = np.stack(ref[key])
+        np.testing.assert_allclose(np.sort(got[key], axis=0),
+                                   np.sort(ref_pts, axis=0), rtol=1e-6)
+    # padding rows must be inert
+    assert np.all(coords[nv:] == -1)
+    assert np.all(nump[nv:] == 0)
+
+
+def test_hard_voxelize_fcfs_drop_order(rng):
+    # points land in one voxel; first max_points in input order must be kept
+    pts = np.zeros((10, 4), np.float32)
+    pts[:, :3] = 0.05
+    pts[:, 3] = np.arange(10)
+    mask = np.ones(10, bool)
+    out = hard_voxelize(pts, mask, voxel_size=VOXEL_SIZE, pc_range=PC_RANGE,
+                        max_points=4, max_voxels=10)
+    assert int(out['num_voxels']) == 1
+    np.testing.assert_array_equal(
+        np.sort(np.asarray(out['voxels'])[0, :, 3]), [0, 1, 2, 3])
+
+
+def test_hard_voxelize_mean_reduce(rng):
+    pts, mask = make_points(rng)
+    raw = hard_voxelize(pts, mask, voxel_size=VOXEL_SIZE, pc_range=PC_RANGE,
+                        max_points=8, max_voxels=300)
+    red = hard_voxelize(pts, mask, voxel_size=VOXEL_SIZE, pc_range=PC_RANGE,
+                        max_points=8, max_voxels=300, reduce='mean')
+    nv = int(raw['num_voxels'])
+    voxels = np.asarray(raw['voxels'])
+    nump = np.asarray(raw['num_points'])
+    want = np.array([voxels[v][:nump[v]].mean(0) for v in range(nv)])
+    # reduce path must agree where coords agree
+    got_map = {tuple(c): f for c, f in
+               zip(np.asarray(red['coords'])[:nv].tolist(),
+                   np.asarray(red['voxels'])[:nv])}
+    for v in range(nv):
+        key = tuple(np.asarray(raw['coords'])[v].tolist())
+        np.testing.assert_allclose(got_map[key], want[v], rtol=1e-5, atol=1e-5)
+
+
+def test_voxel_capacity_overflow(rng):
+    pts, mask = make_points(rng, P=1000)
+    out = hard_voxelize(pts, mask, voxel_size=VOXEL_SIZE, pc_range=PC_RANGE,
+                        max_points=3, max_voxels=20)
+    assert int(out['num_voxels']) == 20
+    assert np.all(np.asarray(out['num_points'])[:20] <= 3)
+
+
+def test_dynamic_voxelize(rng):
+    pts, mask = make_points(rng)
+    coords = np.asarray(dynamic_voxelize(pts, mask, voxel_size=VOXEL_SIZE,
+                                         pc_range=PC_RANGE))
+    vs = np.asarray(VOXEL_SIZE)
+    grid = np.array(grid_shape_of(VOXEL_SIZE, PC_RANGE))
+    for i in range(len(pts)):
+        c = np.floor(pts[i, :3] / vs).astype(int)
+        if mask[i] and np.all(c >= 0) and np.all(c < grid):
+            np.testing.assert_array_equal(coords[i], c[::-1])
+        else:
+            assert np.all(coords[i] == -1)
+
+
+@pytest.mark.parametrize('reduce', ['mean', 'max', 'sum'])
+def test_dynamic_scatter(rng, reduce):
+    pts, mask = make_points(rng, P=300)
+    coords = np.asarray(dynamic_voxelize(pts, mask, voxel_size=VOXEL_SIZE,
+                                         pc_range=PC_RANGE))
+    grid = grid_shape_of(VOXEL_SIZE, PC_RANGE)
+    vf, vc, p2v, nv = dynamic_scatter(pts, coords, grid_shape=grid,
+                                      max_voxels=300, reduce=reduce)
+    vf, vc, p2v, nv = map(np.asarray, (vf, vc, p2v, nv))
+    # numpy reference
+    table = {}
+    for i in range(len(pts)):
+        if coords[i, 0] < 0:
+            continue
+        table.setdefault(tuple(coords[i]), []).append(pts[i])
+    assert int(nv) == len(table)
+    for v in range(int(nv)):
+        key = tuple(vc[v])
+        arr = np.stack(table[key])
+        want = dict(mean=arr.mean(0), max=arr.max(0), sum=arr.sum(0))[reduce]
+        np.testing.assert_allclose(vf[v], want, rtol=1e-5, atol=1e-5)
+    # point2voxel consistency
+    for i in range(len(pts)):
+        if coords[i, 0] >= 0:
+            assert tuple(vc[p2v[i]]) == tuple(coords[i])
+        else:
+            assert p2v[i] == -1
+
+
+def test_batch_hard_voxelize(rng):
+    pts = np.stack([make_points(rng)[0] for _ in range(2)])
+    mask = np.ones(pts.shape[:2], bool)
+    out = batch_hard_voxelize(pts, mask, voxel_size=VOXEL_SIZE,
+                              pc_range=PC_RANGE, max_points=5,
+                              max_voxels_per_sample=100, reduce='mean')
+    coords = np.asarray(out['coords'])
+    assert coords.shape == (200, 4)
+    valid = coords[:, 0] >= 0
+    assert set(np.unique(coords[valid, 0])) <= {0, 1}
+    assert np.asarray(out['voxels']).shape == (200, 4)
+
+
+def test_gradients_flow_through_scatter(rng):
+    import jax
+    import jax.numpy as jnp
+    pts, mask = make_points(rng, P=100)
+    coords = dynamic_voxelize(pts, mask, voxel_size=VOXEL_SIZE,
+                              pc_range=PC_RANGE)
+    grid = grid_shape_of(VOXEL_SIZE, PC_RANGE)
+
+    def loss(f):
+        vf, *_ = dynamic_scatter(f, coords, grid_shape=grid, max_voxels=200,
+                                 reduce='mean')
+        return jnp.sum(vf ** 2)
+
+    g = jax.grad(loss)(jnp.asarray(pts))
+    assert np.isfinite(np.asarray(g)).all()
+    assert np.abs(np.asarray(g)).sum() > 0

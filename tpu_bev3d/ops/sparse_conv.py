@@ -1,0 +1,223 @@
+"""Sparse 3D convolution on TPU: gather-GEMM over kernel offsets.
+
+Replaces the traveller59 spconv backend + the reference's deployment shim
+(ref: projects/SparseConvolution/sparse_conv.py:160-262 implicit-GEMM
+rulebook/matmul, mmdet3d/models/layers/sparse_block.py).
+
+TPU design. Active voxels live in a fixed-capacity padded table:
+``features [N, C]``, ``coords [N, 4]`` (b, z, y, x; -1 = empty slot). The
+"rulebook" is not materialized: per kernel offset we compute each output
+voxel's needed input coordinate, binary-search it in a sorted linear-id index
+(``jnp.searchsorted`` — O(N log N), no atomics, no dynamic shapes), gather
+(missing → zeros) and accumulate one [N, Cin] x [Cin, Cout] matmul per
+offset via ``lax.scan``. All FLOPs land on the MXU as large dense GEMMs;
+the sparsity shows up only as masked gathers. The K³ over-compute vs a
+packed rulebook is ~3-9x FLOPs, but the GEMMs are so small relative to MXU
+throughput (~40 GFLOP/frame for the BEVFusion encoder) that staying dense
+and batched wins on TPU.
+
+Downsampling note: for strided convs the reference (spconv) activates every
+output site whose receptive field touches an input. We default to the
+cheaper ``floor`` active-set rule — output sites = unique(floor((coord +
+pad_eff) / stride)) — a subset of spconv's set that avoids a K³-candidate
+sort per layer. Convolution values at the produced sites are exact; we train
+from scratch so the slightly sparser active set is a design choice, not an
+approximation of fixed weights.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from functools import partial
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@jax.tree_util.register_dataclass
+@dataclass
+class SparseTensor:
+    """Fixed-capacity sparse voxel tensor (analogue of spconv
+    SparseConvTensor)."""
+    features: jax.Array                       # [N, C]
+    coords: jax.Array                         # [N, 4] (b, z, y, x), -1 pad
+    spatial_shape: Tuple[int, int, int] = field(metadata=dict(static=True))
+    batch_size: int = field(metadata=dict(static=True))
+
+    @property
+    def valid(self):
+        return self.coords[:, 0] >= 0
+
+    def dense(self):
+        """→ [B, C, nz, ny, nx] (ref SparseConvTensor.dense())."""
+        from .scatter import voxel_scatter_dense
+        nz, ny, nx = self.spatial_shape
+        return voxel_scatter_dense(self.features, self.coords,
+                                   batch_size=self.batch_size,
+                                   nz=nz, ny=ny, nx=nx)
+
+
+def _linearize(coords, spatial_shape, batch_size):
+    # int32 linear ids: B * nz*ny*nx must stay < 2^31 (true for every
+    # reference grid: BEVFusion 1440*1440*41*B8 ≈ 6.8e8).
+    nz, ny, nx = spatial_shape
+    assert batch_size * nz * ny * nx < 2**31 - 1, 'grid too large for int32'
+    valid = coords[:, 0] >= 0
+    lin = (coords[:, 0] * (nz * ny * nx)
+           + coords[:, 1] * (ny * nx) + coords[:, 2] * nx + coords[:, 3])
+    BIG = jnp.int32(batch_size * nz * ny * nx)
+    return jnp.where(valid, lin, BIG), valid
+
+
+def _offsets(kernel_size):
+    ks = np.broadcast_to(np.asarray(kernel_size), (3,))
+    zz, yy, xx = np.meshgrid(np.arange(ks[0]), np.arange(ks[1]),
+                             np.arange(ks[2]), indexing='ij')
+    return np.stack([zz.ravel(), yy.ravel(), xx.ravel()], -1)  # [K,3]
+
+
+def _lookup(query_coords, query_valid, lin_sorted, order, spatial_shape,
+            batch_size, N):
+    """Find input row index for each query coord; N (dummy) if absent."""
+    nz, ny, nx = spatial_shape
+    in_grid = jnp.all((query_coords[:, 1:] >= 0)
+                      & (query_coords[:, 1:] < jnp.asarray([nz, ny, nx])),
+                      axis=-1) & query_valid
+    qlin = (query_coords[:, 0] * (nz * ny * nx)
+            + query_coords[:, 1] * (ny * nx) + query_coords[:, 2] * nx
+            + query_coords[:, 3])
+    pos = jnp.searchsorted(lin_sorted, qlin)
+    pos = jnp.clip(pos, 0, N - 1)
+    found = in_grid & (lin_sorted[pos] == qlin)
+    return jnp.where(found, order[pos], N), found
+
+
+def _gather_gemm(features, idx_all, found_all, weight, preferred=jnp.float32):
+    """Accumulate sum_k features[idx_k] @ W_k via scan over kernel offsets.
+
+    features [N, Cin]; idx_all [K, N]; found_all [K, N]; weight [K, Cin, Cout].
+    """
+    N = features.shape[0]
+    Cout = weight.shape[-1]
+    feats_pad = jnp.concatenate(
+        [features, jnp.zeros((1, features.shape[1]), features.dtype)], 0)
+
+    def body(acc, inp):
+        idx, found, w = inp
+        g = feats_pad[idx] * found[:, None].astype(features.dtype)
+        return acc + jnp.dot(g, w, preferred_element_type=preferred), None
+
+    acc0 = jnp.zeros((N, Cout), preferred)
+    out, _ = jax.lax.scan(body, acc0, (idx_all, found_all, weight))
+    return out
+
+
+def subm_conv3d(st: SparseTensor, weight, bias=None, kernel_size=3):
+    """Submanifold sparse conv: output coords == input coords
+    (ref spconv SubMConv3d). weight: [K³, Cin, Cout]."""
+    offs = _offsets(kernel_size)
+    center = (np.broadcast_to(np.asarray(kernel_size), (3,)) - 1) // 2
+    deltas = jnp.asarray(offs - center, jnp.int32)          # [K, 3]
+    lin, valid = _linearize(st.coords, st.spatial_shape, st.batch_size)
+    order = jnp.argsort(lin)
+    lin_sorted = lin[order]
+    N = st.coords.shape[0]
+
+    def per_offset(d):
+        q = st.coords.at[:, 1:].add(d)
+        q = jnp.where(valid[:, None], q, -1)
+        return _lookup(q, valid, lin_sorted, order, st.spatial_shape,
+                       st.batch_size, N)
+
+    idx_all, found_all = jax.vmap(per_offset)(deltas)       # [K, N]
+    out = _gather_gemm(st.features, idx_all, found_all, weight)
+    if bias is not None:
+        out = out + bias
+    out = jnp.where(valid[:, None], out, 0.0)
+    return SparseTensor(out.astype(st.features.dtype), st.coords,
+                        st.spatial_shape, st.batch_size)
+
+
+def sparse_conv3d(st: SparseTensor, weight, bias=None, kernel_size=3,
+                  stride=2, padding=1, out_capacity=None):
+    """Strided sparse conv (ref spconv SparseConv3d).
+
+    Output sites: unique(floor((coord + padding - offset0) / stride)) with
+    offset0 chosen so a centered input maps to its natural site (see module
+    docstring for the active-set rule). weight: [K³, Cin, Cout].
+    """
+    ks = np.broadcast_to(np.asarray(kernel_size), (3,))
+    strd = np.broadcast_to(np.asarray(stride), (3,))
+    pad = np.broadcast_to(np.asarray(padding), (3,))
+    nz, ny, nx = st.spatial_shape
+    out_shape = tuple(int((np.array([nz, ny, nx])[i] + 2 * pad[i] - ks[i])
+                          // strd[i] + 1) for i in range(3))
+    N = st.coords.shape[0]
+    out_capacity = out_capacity or N
+    valid = st.valid
+
+    # candidate output site per input: floor((c + pad - center)/stride)
+    center = (ks - 1) // 2
+    shift = jnp.asarray(pad - center, jnp.int32)
+    strd_j = jnp.asarray(strd, jnp.int32)
+    cand = jnp.where(
+        valid[:, None],
+        jnp.concatenate(
+            [st.coords[:, :1],
+             jnp.floor_divide(st.coords[:, 1:] + shift, strd_j)], -1),
+        -1)
+    in_bounds = jnp.all((cand[:, 1:] >= 0)
+                        & (cand[:, 1:] < jnp.asarray(out_shape)), -1) & valid
+    cand = jnp.where(in_bounds[:, None], cand, -1)
+
+    # unique candidate sites → new coord table (sorted by linear id)
+    onz, ony, onx = out_shape
+    clin = (cand[:, 0] * (onz * ony * onx)
+            + cand[:, 1] * (ony * onx) + cand[:, 2] * onx + cand[:, 3])
+    BIG = jnp.int32(st.batch_size * (onz * ony * onx))
+    clin = jnp.where(in_bounds, clin, BIG)
+    order = jnp.argsort(clin)
+    clin_s = clin[order]
+    cand_s = cand[order]
+    vs = in_bounds[order]
+    new_seg = vs & jnp.concatenate([jnp.ones((1,), bool),
+                                    clin_s[1:] != clin_s[:-1]])
+    uidx = jnp.cumsum(new_seg.astype(jnp.int32)) - 1
+    out_coords = jnp.full((out_capacity, 4), -1, jnp.int32)
+    ci = jnp.where(new_seg & (uidx < out_capacity), uidx, out_capacity)
+    out_coords = out_coords.at[ci].set(cand_s, mode='drop')
+    out_valid = out_coords[:, 0] >= 0
+
+    # gather-GEMM: for each output site, input coord = site*stride - pad + off
+    lin_in, _ = _linearize(st.coords, st.spatial_shape, st.batch_size)
+    in_order = jnp.argsort(lin_in)
+    lin_in_sorted = lin_in[in_order]
+    offs = jnp.asarray(_offsets(kernel_size), jnp.int32)     # [K, 3]
+    pad_j = jnp.asarray(pad, jnp.int32)
+
+    def per_offset(off):
+        q_sp = out_coords[:, 1:] * strd_j - pad_j + off
+        q = jnp.concatenate([out_coords[:, :1], q_sp], -1)
+        q = jnp.where(out_valid[:, None], q, -1)
+        return _lookup(q, out_valid, lin_in_sorted, in_order,
+                       st.spatial_shape, st.batch_size, N)
+
+    idx_all, found_all = jax.vmap(per_offset)(offs)
+    out = _gather_gemm(st.features, idx_all, found_all, weight)
+    if bias is not None:
+        out = out + bias
+    out = jnp.where(out_valid[:, None], out, 0.0)
+    return SparseTensor(out.astype(st.features.dtype), out_coords,
+                        out_shape, st.batch_size)
+
+
+@partial(jax.jit, static_argnames=('axis', 'eps'))
+def sparse_batch_norm_stats(features, valid, axis=0, eps=1e-5):
+    """Masked mean/var over valid rows (BN over active voxels only, matching
+    spconv BatchNorm1d-over-features semantics)."""
+    w = valid.astype(features.dtype)[:, None]
+    n = jnp.maximum(jnp.sum(w), 1.0)
+    mean = jnp.sum(features * w, 0) / n
+    var = jnp.sum(w * (features - mean) ** 2, 0) / n
+    return mean, var
