@@ -1,14 +1,20 @@
 """Test harness config: run on a virtual 8-device CPU mesh.
 
-Must set env vars BEFORE jax is imported anywhere.
+The environment's axon TPU plugin force-sets JAX_PLATFORMS=axon during
+interpreter startup (sitecustomize), so env vars alone cannot select CPU —
+we must override via jax.config after import. XLA_FLAGS still has to be set
+before backend init for the virtual device count to take effect.
 """
 import os
 
-os.environ.setdefault('JAX_PLATFORMS', 'cpu')
 flags = os.environ.get('XLA_FLAGS', '')
 if '--xla_force_host_platform_device_count' not in flags:
     os.environ['XLA_FLAGS'] = (
         flags + ' --xla_force_host_platform_device_count=8').strip()
+
+import jax
+
+jax.config.update('jax_platforms', 'cpu')
 
 import numpy as np
 import pytest
