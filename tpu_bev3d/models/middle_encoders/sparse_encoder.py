@@ -1,0 +1,128 @@
+"""Sparse middle encoders (SECOND / BEVFusion) on the TPU sparse-conv ops.
+
+Refs: mmdet3d/models/middle_encoders/sparse_encoder.py:32-243 (SparseEncoder:
+SubM input conv, 4 encoder stages with stride-2 downsamples, conv_out z
+reduction, ``.dense()`` → [N, C*D, H, W]) and projects/BEVFusion/bevfusion/
+sparse_encoder.py:14-156 (BEVFusionSparseEncoder — same topology, (1,1,3)
+z-reducing conv_out, output reshaped to 256 channels).
+
+TPU design: fixed-capacity SparseTensor tables; every conv is a gather-GEMM
+scan over kernel offsets (ops/sparse_conv.py) so the FLOPs land on the MXU.
+Per-stage output capacities are static config — downsampling merges voxels so
+later stages can run smaller tables (less padding waste).
+"""
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple, Union
+
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from ...ops.sparse_conv import (SparseTensor, sparse_conv3d, subm_conv3d)
+from ...registry import MODELS
+from ..layers.common import MaskedBatchNorm
+
+
+class SparseConvLayer(nn.Module):
+    """One sparse conv (+BN+ReLU). subm=True → submanifold."""
+    out_channels: int
+    kernel_size: Union[int, Tuple[int, int, int]] = 3
+    stride: Union[int, Tuple[int, int, int]] = 1
+    padding: Union[int, Tuple[int, int, int]] = 0
+    subm: bool = True
+    out_capacity: Optional[int] = None
+    use_bn: bool = True
+    act: bool = True
+
+    @nn.compact
+    def __call__(self, st: SparseTensor, train: bool = False) -> SparseTensor:
+        cin = st.features.shape[-1]
+        k = int(np.prod(np.broadcast_to(np.asarray(self.kernel_size), (3,))))
+        fan_in = cin * k
+        w = self.param('kernel',
+                       nn.initializers.variance_scaling(1.0, 'fan_in',
+                                                        'uniform'),
+                       (k, cin, self.out_channels))
+        if self.subm:
+            out = subm_conv3d(st, w, kernel_size=self.kernel_size)
+        else:
+            out = sparse_conv3d(st, w, kernel_size=self.kernel_size,
+                                stride=self.stride, padding=self.padding,
+                                out_capacity=self.out_capacity)
+        f = out.features
+        if self.use_bn:
+            f = MaskedBatchNorm()(f, out.valid, train=train)
+        if self.act:
+            f = nn.relu(f)
+        f = jnp.where(out.valid[:, None], f, 0.0)
+        return SparseTensor(f, out.coords, out.spatial_shape, out.batch_size)
+
+
+@MODELS.register_module()
+class SparseEncoder(nn.Module):
+    """SECOND middle encoder (ref sparse_encoder.py:32-243).
+
+    sparse_shape: (nz, ny, nx) grid — e.g. (41, 1600, 1408) for SECOND-KITTI,
+    (41, 1440, 1440) for BEVFusion/CenterPoint-style nuScenes grids.
+    """
+    in_channels: int = 4
+    sparse_shape: Tuple[int, int, int] = (41, 1600, 1408)
+    base_channels: int = 16
+    output_channels: int = 128
+    encoder_channels: Sequence[Sequence[int]] = (
+        (16,), (32, 32, 32), (64, 64, 64), (64, 64, 64))
+    encoder_paddings: Sequence[Sequence] = (
+        (1,), (1, 1, 1), (1, 1, 1), ((0, 1, 1), 1, 1))
+    stage_capacity_factor: float = 1.0  # per-downsample capacity shrink
+    conv_out_kernel: Tuple[int, int, int] = (3, 1, 1)
+    conv_out_stride: Tuple[int, int, int] = (2, 1, 1)
+
+    @nn.compact
+    def __call__(self, voxel_features, coors, batch_size: int,
+                 train: bool = False):
+        """voxel_features [V, C]; coors [V, 4] (b, z, y, x) →
+        BEV features [B, H', W', C*D'] (NHWC)."""
+        st = SparseTensor(voxel_features, coors, tuple(self.sparse_shape),
+                          batch_size)
+        st = SparseConvLayer(self.base_channels, 3, subm=True,
+                             name='conv_input')(st, train)
+        cap = voxel_features.shape[0]
+        for i, stage in enumerate(self.encoder_channels):
+            for j, ch in enumerate(stage):
+                pad = self.encoder_paddings[i][j]
+                if i > 0 and j == 0:
+                    cap = max(int(cap * self.stage_capacity_factor), 1)
+                    st = SparseConvLayer(
+                        ch, 3, stride=2, padding=pad, subm=False,
+                        out_capacity=cap,
+                        name=f'encoder_{i}_{j}')(st, train)
+                else:
+                    st = SparseConvLayer(ch, 3, subm=True,
+                                         name=f'encoder_{i}_{j}')(st, train)
+        st = SparseConvLayer(self.output_channels,
+                             self.conv_out_kernel, self.conv_out_stride,
+                             padding=0, subm=False, out_capacity=cap,
+                             name='conv_out')(st, train)
+        dense = st.dense()                       # [B, C, D, H, W]
+        B, C, D, H, W = dense.shape
+        out = dense.reshape(B, C * D, H, W)
+        return jnp.transpose(out, (0, 2, 3, 1))  # NHWC
+
+
+@MODELS.register_module()
+class BEVFusionSparseEncoder(SparseEncoder):
+    """BEVFusion variant (ref projects/BEVFusion/bevfusion/
+    sparse_encoder.py:14-156): z-reducing (1,1,3)-in-(H,W,D)-order conv_out ≡
+    (3,1,1) over z in our (z,y,x) layout — i.e. identical math to the parent
+    with BEVFusion's channel plan. Defaults mirror the lidar config
+    (sparse_shape [1440,1440,41] → ours (41,1440,1440), output 256 = 128·D2).
+    """
+    in_channels: int = 5
+    sparse_shape: Tuple[int, int, int] = (41, 1440, 1440)
+    encoder_channels: Sequence[Sequence[int]] = (
+        (16, 16, 32), (32, 32, 64), (64, 64, 128), (128, 128))
+    encoder_paddings: Sequence[Sequence] = (
+        (0, 0, 1), (0, 0, 1), (0, 0, (1, 1, 0)), (0, 0))
+    base_channels: int = 16
+    output_channels: int = 128

@@ -147,6 +147,22 @@ def aligned_iou_bev(boxes1, boxes2):
     return inter / jnp.maximum(a1[:, None] + a2[None, :] - inter, _EPS)
 
 
+def nearest_iou_bev(boxes1, boxes2):
+    """"Nearest" BEV IoU of 7-DoF boxes: each rotated box is replaced by its
+    nearest axis-aligned box (swap dx/dy when |yaw mod pi| > pi/4), then
+    aligned IoU. Ref: BboxOverlapsNearest3D + box_np_ops.rbbox2d_to_near_bbox
+    (structures/ops/iou3d_calculator.py:14-77, box_np_ops.py).
+    boxes [N,7]→[N,M]."""
+    def near_aabb(b):
+        yaw = b[:, 6] - jnp.floor(b[:, 6] / jnp.pi + 0.5) * jnp.pi  # [-pi/2,pi/2)
+        swap = jnp.abs(yaw) > jnp.pi / 4
+        dx = jnp.where(swap, b[:, 4], b[:, 3])
+        dy = jnp.where(swap, b[:, 3], b[:, 4])
+        return jnp.stack([b[:, 0] - dx / 2, b[:, 1] - dy / 2,
+                          b[:, 0] + dx / 2, b[:, 1] + dy / 2], -1)
+    return aligned_iou_bev(near_aabb(boxes1), near_aabb(boxes2))
+
+
 def xywhr2xyxyr(boxes):
     """[N,5] (x,y,dx,dy,r) → (x1,y1,x2,y2,r), ref structures/bbox_3d/utils."""
     half = boxes[:, 2:4] * 0.5
