@@ -88,10 +88,14 @@ class SparseEncoder(nn.Module):
         st = SparseConvLayer(self.base_channels, 3, subm=True,
                              name='conv_input')(st, train)
         cap = voxel_features.shape[0]
+        n_stages = len(self.encoder_channels)
         for i, stage in enumerate(self.encoder_channels):
             for j, ch in enumerate(stage):
                 pad = self.encoder_paddings[i][j]
-                if i > 0 and j == 0:
+                # stride-2 downsample is the LAST conv of every non-final
+                # stage (ref SparseEncoder.make_encoder_layers,
+                # sparse_encoder.py:176-243)
+                if j == len(stage) - 1 and i != n_stages - 1:
                     cap = max(int(cap * self.stage_capacity_factor), 1)
                     st = SparseConvLayer(
                         ch, 3, stride=2, padding=pad, subm=False,
@@ -123,6 +127,6 @@ class BEVFusionSparseEncoder(SparseEncoder):
     encoder_channels: Sequence[Sequence[int]] = (
         (16, 16, 32), (32, 32, 64), (64, 64, 128), (128, 128))
     encoder_paddings: Sequence[Sequence] = (
-        (0, 0, 1), (0, 0, 1), (0, 0, (1, 1, 0)), (0, 0))
+        (0, 0, 1), (0, 0, 1), (0, 0, (0, 1, 1)), (0, 0))
     base_channels: int = 16
     output_channels: int = 128
