@@ -1,0 +1,66 @@
+"""Data-parallel train step over the virtual 8-device CPU mesh — the
+multi-device coverage the reference lacks (SURVEY §4: 'the reference's gap we
+must not copy')."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from tpu_bev3d.config import Config
+from tpu_bev3d.engine import (build_optimizer, create_train_state,
+                              make_train_step, shard_batch)
+from tpu_bev3d.engine.train_loop import data_mesh, replicate_state
+from tpu_bev3d.testing import create_detector_inputs, build_detector_from_cfg
+
+
+@pytest.fixture(scope='module')
+def setup():
+    cfg = Config.fromfile('configs/pointpillars/pointpillars_kitti_3class.py')
+    m = cfg.model
+    m.voxel_size = [0.64, 0.64, 4]
+    m.max_voxels = 256
+    m.max_num_points = 8
+    m.voxel_encoder.voxel_size = [0.64, 0.64, 4]
+    m.middle_encoder.output_shape = [64, 56]
+    m.bbox_head.nms_pre = 64
+    m.bbox_head.max_num = 16
+    model = build_detector_from_cfg(m)
+    batch = create_detector_inputs(batch_size=8, num_points=128, num_gt=4)
+    batch = {k: jnp.asarray(v) for k, v in batch.items()}
+    return model, batch, cfg
+
+
+def test_train_step_singledevice(setup):
+    model, batch, cfg = setup
+    tx, _ = build_optimizer(cfg.train_cfg.optimizer, total_steps=10,
+                            schedule_cfg=cfg.train_cfg.scheduler,
+                            clip_grad_norm=cfg.train_cfg.clip_grad_norm)
+    state = create_train_state(model, batch, tx)
+    step = make_train_step(model, tx, donate=False)
+    state2, metrics = step(state, batch)
+    assert int(state2.step) == 1
+    for k, v in metrics.items():
+        assert np.isfinite(float(v)), k
+    # params actually changed
+    delta = jax.tree_util.tree_reduce(
+        lambda a, x: a + float(jnp.sum(jnp.abs(x))),
+        jax.tree_util.tree_map(lambda a, b: a - b, state2.params,
+                               state.params), 0.0)
+    assert delta > 0
+
+
+def test_train_step_8dev_mesh(setup):
+    model, batch, cfg = setup
+    assert len(jax.devices()) == 8
+    mesh = data_mesh()
+    tx, _ = build_optimizer(cfg.train_cfg.optimizer, total_steps=10)
+    state = create_train_state(model, batch, tx)
+    state = replicate_state(state, mesh)
+    sbatch = shard_batch(batch, mesh)
+    step = make_train_step(model, tx, donate=False)
+    state2, metrics = step(state, sbatch)
+    assert np.isfinite(float(metrics['loss']))
+    # gradient is a global all-reduce: params stay replicated
+    leaf = jax.tree_util.tree_leaves(state2.params)[0]
+    assert leaf.sharding.is_fully_replicated

@@ -1,0 +1,74 @@
+"""Jitted train/eval steps with data-parallel sharding.
+
+TPU-native replacement for the mmengine Runner + DDP stack (ref:
+tools/train.py:130-141, mmengine EpochBasedTrainLoop.run_iter; DDP gradient
+all-reduce ≡ XLA-inserted collectives under pjit; SyncBN ≡ global-batch BN,
+which pjit's global-view semantics give for free; the loss-log all_reduce at
+projects/BEVFusion/bevfusion/bevfusion.py:116-118 is likewise implicit).
+
+Design: ONE `jax.jit` train step over globally-shaped arrays. The batch is
+sharded over the 'data' mesh axis via NamedSharding; params/opt state are
+replicated. XLA partitions the step and inserts psums over ICI — no
+hand-written collectives, per the scaling-book recipe.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_train_step(model, tx, donate: bool = True) -> Callable:
+    """Returns step(state, batch) -> (state, metrics)."""
+
+    def loss_fn(params, batch_stats, batch):
+        variables = {'params': params, 'batch_stats': batch_stats}
+        losses, new_vars = model.apply(variables, batch, mode='loss',
+                                       train=True, mutable=['batch_stats'])
+        total = jnp.asarray(0.0)
+        for v in losses.values():
+            total = total + v
+        return total, (losses, new_vars.get('batch_stats', batch_stats))
+
+    def step(state, batch):
+        (total, (losses, new_bs)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params, state.batch_stats, batch)
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = jax.tree_util.tree_map(
+            lambda p, u: p + u, state.params, updates)
+        new_state = state.replace(step=state.step + 1, params=new_params,
+                                  batch_stats=new_bs, opt_state=new_opt)
+        metrics = dict(loss=total, **losses)
+        return new_state, metrics
+
+    return jax.jit(step, donate_argnums=(0,) if donate else ())
+
+
+def make_eval_step(model) -> Callable:
+    def step(state, batch):
+        variables = {'params': state.params,
+                     'batch_stats': state.batch_stats}
+        return model.apply(variables, batch, mode='predict', train=False)
+    return jax.jit(step)
+
+
+def data_mesh(devices=None, axis: str = 'data') -> Mesh:
+    import numpy as np
+    devices = devices if devices is not None else jax.devices()
+    return Mesh(np.asarray(devices), (axis,))
+
+
+def shard_batch(batch, mesh: Mesh, axis: str = 'data'):
+    """Place a host batch so dim 0 is sharded over the mesh."""
+    sharding = NamedSharding(mesh, P(axis))
+    return jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, sharding), batch)
+
+
+def replicate_state(state, mesh: Mesh):
+    sharding = NamedSharding(mesh, P())
+    return jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, sharding), state)

@@ -11,4 +11,5 @@ from . import middle_encoders # noqa: F401
 from . import backbones       # noqa: F401
 from . import necks           # noqa: F401
 from . import dense_heads     # noqa: F401
+from . import view_transforms # noqa: F401
 from . import detectors       # noqa: F401

@@ -1,3 +1,4 @@
 from .second import SECOND
+from .swin import SwinTransformer
 
-__all__ = ['SECOND']
+__all__ = ['SECOND', 'SwinTransformer']

@@ -1,0 +1,175 @@
+"""Swin Transformer backbone (flax, NHWC).
+
+TPU-native reimplementation of the mmdet SwinTransformer the reference's
+BEVFusion config builds for the image branch (ref: projects/BEVFusion/
+configs/nuscenes/bevfusion_lidar-cam_…py:16-35 — Swin-T: embed 96, depths
+[2,2,6,2], heads [3,6,12,24], window 7, out_indices [1,2,3]).
+
+TPU notes: window attention reshapes to [B·nW, win², C] and runs dense
+attention — every matmul is MXU-shaped; shifted windows use jnp.roll (no
+padding-mask gather); relative position bias is a static [win², win²] table
+lookup. Feature maps are padded to window multiples and cropped after.
+"""
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from ...registry import MODELS
+
+
+def window_partition(x, w):
+    """[B, H, W, C] → [B*nH*nW, w, w, C] (H, W divisible by w)."""
+    B, H, W, C = x.shape
+    x = x.reshape(B, H // w, w, W // w, w, C)
+    return x.transpose(0, 1, 3, 2, 4, 5).reshape(-1, w, w, C)
+
+
+def window_reverse(xw, w, B, H, W):
+    C = xw.shape[-1]
+    x = xw.reshape(B, H // w, W // w, w, w, C)
+    return x.transpose(0, 1, 3, 2, 4, 5).reshape(B, H, W, C)
+
+
+def _rel_pos_index(w):
+    coords = np.stack(np.meshgrid(np.arange(w), np.arange(w),
+                                  indexing='ij')).reshape(2, -1)
+    rel = coords[:, :, None] - coords[:, None, :]        # [2, w², w²]
+    rel = rel.transpose(1, 2, 0) + (w - 1)
+    return (rel[..., 0] * (2 * w - 1) + rel[..., 1]).astype(np.int32)
+
+
+class WindowAttention(nn.Module):
+    dim: int
+    num_heads: int
+    window_size: int
+
+    @nn.compact
+    def __call__(self, x, attn_mask=None):
+        """x [nB, N, C] with N = window²; attn_mask [nW, N, N] or None."""
+        nB, N, C = x.shape
+        h = self.num_heads
+        qkv = nn.Dense(3 * C, dtype=x.dtype, name='qkv')(x)
+        q, k, v = jnp.split(qkv.reshape(nB, N, 3, h, C // h), 3, axis=2)
+        q = q.squeeze(2).transpose(0, 2, 1, 3)           # [nB, h, N, d]
+        k = k.squeeze(2).transpose(0, 2, 1, 3)
+        v = v.squeeze(2).transpose(0, 2, 1, 3)
+        scale = (C // h) ** -0.5
+        attn = (q * scale) @ k.transpose(0, 1, 3, 2)     # [nB, h, N, N]
+        w = self.window_size
+        table = self.param('rel_pos_bias', nn.initializers.normal(0.02),
+                           ((2 * w - 1) ** 2, h))
+        idx = jnp.asarray(_rel_pos_index(w))             # [N, N]
+        bias = table[idx].transpose(2, 0, 1)             # [h, N, N]
+        attn = attn + bias[None].astype(attn.dtype)
+        if attn_mask is not None:
+            nW = attn_mask.shape[0]
+            attn = attn.reshape(nB // nW, nW, h, N, N) \
+                + attn_mask[None, :, None].astype(attn.dtype)
+            attn = attn.reshape(nB, h, N, N)
+        attn = jax.nn.softmax(attn, axis=-1)
+        out = (attn @ v).transpose(0, 2, 1, 3).reshape(nB, N, C)
+        return nn.Dense(C, dtype=x.dtype, name='proj')(out)
+
+
+class SwinBlock(nn.Module):
+    dim: int
+    num_heads: int
+    window_size: int = 7
+    shift: int = 0
+    mlp_ratio: float = 4.0
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        """x [B, H, W, C] (H, W already padded to window multiples)."""
+        B, H, W, C = x.shape
+        w = self.window_size
+        shortcut = x
+        x = nn.LayerNorm(dtype=x.dtype)(x)
+        if self.shift > 0:
+            x = jnp.roll(x, (-self.shift, -self.shift), axis=(1, 2))
+            # attention mask for wrapped windows (static, computed in numpy)
+            img_mask = np.zeros((1, H, W, 1), np.float32)
+            cnt = 0
+            for hs in (slice(0, -w), slice(-w, -self.shift),
+                       slice(-self.shift, None)):
+                for ws in (slice(0, -w), slice(-w, -self.shift),
+                           slice(-self.shift, None)):
+                    img_mask[:, hs, ws, :] = cnt
+                    cnt += 1
+            mw = window_partition(jnp.asarray(img_mask), w).reshape(-1, w * w)
+            attn_mask = jnp.where(mw[:, None, :] != mw[:, :, None],
+                                  -100.0, 0.0)
+        else:
+            attn_mask = None
+        xw = window_partition(x, w).reshape(-1, w * w, C)
+        xw = WindowAttention(self.dim, self.num_heads, w)(xw, attn_mask)
+        x = window_reverse(xw.reshape(-1, w, w, C), w, B, H, W)
+        if self.shift > 0:
+            x = jnp.roll(x, (self.shift, self.shift), axis=(1, 2))
+        x = shortcut + x
+        y = nn.LayerNorm(dtype=x.dtype)(x)
+        y = nn.Dense(int(C * self.mlp_ratio), dtype=x.dtype)(y)
+        y = nn.gelu(y)
+        y = nn.Dense(C, dtype=x.dtype)(y)
+        return x + y
+
+
+class PatchMerging(nn.Module):
+    out_dim: int
+
+    @nn.compact
+    def __call__(self, x):
+        B, H, W, C = x.shape
+        # pad to even
+        x = jnp.pad(x, ((0, 0), (0, H % 2), (0, W % 2), (0, 0)))
+        x0 = x[:, 0::2, 0::2]
+        x1 = x[:, 1::2, 0::2]
+        x2 = x[:, 0::2, 1::2]
+        x3 = x[:, 1::2, 1::2]
+        x = jnp.concatenate([x0, x1, x2, x3], -1)
+        x = nn.LayerNorm(dtype=x.dtype)(x)
+        return nn.Dense(self.out_dim, use_bias=False, dtype=x.dtype)(x)
+
+
+@MODELS.register_module()
+class SwinTransformer(nn.Module):
+    embed_dims: int = 96
+    depths: Sequence[int] = (2, 2, 6, 2)
+    num_heads: Sequence[int] = (3, 6, 12, 24)
+    window_size: int = 7
+    patch_size: int = 4
+    mlp_ratio: float = 4.0
+    out_indices: Sequence[int] = (1, 2, 3)
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        """x [B, H, W, 3] → tuple of NHWC stage features at out_indices."""
+        p = self.patch_size
+        x = nn.Conv(self.embed_dims, (p, p), strides=(p, p), padding='VALID',
+                    dtype=x.dtype, name='patch_embed')(x)
+        x = nn.LayerNorm(dtype=x.dtype)(x)
+        outs = []
+        dim = self.embed_dims
+        for i, depth in enumerate(self.depths):
+            B, H, W, C = x.shape
+            w = self.window_size
+            ph, pw = (-H) % w, (-W) % w
+            xp = jnp.pad(x, ((0, 0), (0, ph), (0, pw), (0, 0)))
+            for d in range(depth):
+                shift = 0 if d % 2 == 0 else w // 2
+                xp = SwinBlock(dim, self.num_heads[i], w, shift,
+                               self.mlp_ratio,
+                               name=f'stage{i}_block{d}')(xp, train)
+            x = xp[:, :H, :W]
+            if i in self.out_indices:
+                outs.append(nn.LayerNorm(dtype=x.dtype,
+                                         name=f'out_norm{i}')(x))
+            if i < len(self.depths) - 1:
+                dim *= 2
+                x = PatchMerging(dim, name=f'merge{i}')(x)
+        return tuple(outs)

@@ -1,4 +1,5 @@
 from .anchor3d_head import Anchor3DHead
 from .centerpoint_head import CenterHead, SeparateHead
+from .transfusion_head import BEVFusionHead
 
-__all__ = ['Anchor3DHead', 'CenterHead', 'SeparateHead']
+__all__ = ['Anchor3DHead', 'CenterHead', 'SeparateHead', 'BEVFusionHead']

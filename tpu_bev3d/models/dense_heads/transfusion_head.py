@@ -1,0 +1,330 @@
+"""TransFusion-style BEVFusion head.
+
+Ref: projects/BEVFusion/bevfusion/bevfusion_head.py:41-796 — shared conv →
+dense heatmap → max-pool peak NMS → top-200 proposal queries with class
+embedding → one transformer decoder layer cross-attending BEV features with
+learned positional encodings → SeparateHead regression; training via
+heatmap GaussianFocal + per-query FocalLoss cls + L1 bbox over
+Hungarian-matched pairs (utils.py:227-270).
+
+TPU design: everything fixed-shape. Matching runs ON DEVICE as a greedy
+global-argmin assignment (lax.fori_loop over the padded GT count) instead of
+the reference's scipy Hungarian host callback (utils.py:266-270 — a
+host↔device sync every train step); greedy on the same cost matrix is a
+close approximation and keeps the step fully fused.
+"""
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from ...registry import MODELS
+from ...ops.iou3d import iou_3d
+from ..losses.losses import (gaussian_focal_loss, l1_loss,
+                             sigmoid_focal_loss)
+from .centerpoint_head import SeparateHead, draw_heatmap, gaussian_radius
+from ..layers.common import ConvBNAct
+
+
+class PositionEncodingLearned(nn.Module):
+    """MLP position encoding on (x, y) coords (ref transformer.py:7-24)."""
+    num_feats: int = 128
+
+    @nn.compact
+    def __call__(self, xy):
+        h = nn.Dense(self.num_feats, dtype=xy.dtype)(xy)
+        h = nn.relu(h)
+        return nn.Dense(self.num_feats, dtype=xy.dtype)(h)
+
+
+class DecoderLayer(nn.Module):
+    """Self-attn + cross-attn + FFN (ref TransformerDecoderLayer,
+    transformer.py:26-113)."""
+    d_model: int = 128
+    nhead: int = 8
+    dim_ff: int = 256
+
+    @nn.compact
+    def __call__(self, query, key, query_pos, key_pos):
+        """query [B,Q,C]; key [B,HW,C]; *_pos same leading shapes, 2D coords.
+        """
+        qp = PositionEncodingLearned(self.d_model, name='q_posenc')(query_pos)
+        kp = PositionEncodingLearned(self.d_model, name='k_posenc')(key_pos)
+        q = query + qp
+        x = query + nn.MultiHeadDotProductAttention(
+            self.nhead, dtype=query.dtype, name='self_attn')(q, q)
+        x = nn.LayerNorm(dtype=x.dtype)(x)
+        x2 = x + nn.MultiHeadDotProductAttention(
+            self.nhead, dtype=x.dtype, name='cross_attn')(
+                x + qp, key + kp)
+        x2 = nn.LayerNorm(dtype=x2.dtype)(x2)
+        y = nn.Dense(self.dim_ff, dtype=x2.dtype)(x2)
+        y = nn.relu(y)
+        y = nn.Dense(self.d_model, dtype=y.dtype)(y)
+        out = nn.LayerNorm(dtype=y.dtype)(x2 + y)
+        return out
+
+
+def greedy_assign(cost, gt_mask, big=1e9):
+    """Greedy global-argmin bipartite assignment.
+
+    cost [Q, G]; returns (query_gt [Q] int32, -1 unmatched). Each valid GT
+    gets exactly one query (iteratively pick the global min entry).
+    """
+    Q, G = cost.shape
+    cost = jnp.where(gt_mask[None, :], cost, big)
+
+    def body(_, carry):
+        c, qgt = carry
+        flat = jnp.argmin(c)
+        qi, gi = flat // G, flat % G
+        take = c[qi, gi] < big / 2
+        qgt = jnp.where(take, qgt.at[qi].set(gi.astype(jnp.int32)), qgt)
+        c = jnp.where(take, c.at[qi, :].set(big).at[:, gi].set(big), c)
+        return c, qgt
+
+    _, qgt = jax.lax.fori_loop(0, G, body,
+                               (cost, jnp.full((Q,), -1, jnp.int32)))
+    return qgt
+
+
+@MODELS.register_module()
+class BEVFusionHead(nn.Module):
+    """Config surface mirrors ref bevfusion_head.py:41-160 + configs."""
+    num_classes: int = 10
+    in_channels: int = 512
+    hidden_channel: int = 128
+    num_proposals: int = 200
+    num_heads: int = 8
+    ffn_channel: int = 256
+    nms_kernel_size: int = 3
+    # bbox coder params (ref TransFusionBBoxCoder, utils.py:15-125)
+    point_cloud_range: Sequence[float] = (-54., -54., -5., 54., 54., 3.)
+    voxel_size: Sequence[float] = (0.075, 0.075, 0.2)
+    out_size_factor: int = 8
+    code_size: int = 10
+    with_velocity: bool = True
+    # losses (ref config :119-131)
+    gaussian_overlap: float = 0.1
+    min_radius: int = 2
+    code_weights: Sequence[float] = (1., 1., 1., 1., 1., 1., 1., 1.,
+                                     0.2, 0.2)
+    loss_cls_weight: float = 1.0
+    loss_bbox_weight: float = 0.25
+    loss_heatmap_weight: float = 1.0
+    # matching costs (ref HungarianAssigner3D cfg)
+    cost_cls_weight: float = 0.15
+    cost_reg_weight: float = 0.25
+    cost_iou_weight: float = 0.25
+
+    def setup(self):
+        self.shared_conv = ConvBNAct(self.hidden_channel, 3, padding=1)
+        self.heatmap_head = nn.Sequential([
+            ConvBNAct(self.hidden_channel, 3, padding=1),
+            nn.Conv(self.num_classes, (3, 3), padding=1,
+                    bias_init=nn.initializers.constant(-2.19)),
+        ])
+        self.class_encoding = nn.Dense(self.hidden_channel)
+        self.decoder = DecoderLayer(self.hidden_channel, self.num_heads,
+                                    self.ffn_channel)
+        reg_heads = {'center': (2, 2), 'height': (1, 2), 'dim': (3, 2),
+                     'rot': (2, 2), 'heatmap': (self.num_classes, 2)}
+        if self.with_velocity:
+            reg_heads['vel'] = (2, 2)
+        self.prediction_head = SeparateHeadSeq(heads=reg_heads,
+                                               head_conv=64)
+
+    # ------------------------------------------------------------------ fwd
+
+    def __call__(self, bev_feats, train: bool = False):
+        """bev_feats [B, H, W, C] → dict of per-query predictions + dense
+        heatmap (ref forward_single:198-316)."""
+        B, H, W, _ = bev_feats.shape
+        feat = self.shared_conv(bev_feats, train)          # [B,H,W,hid]
+        heatmap = self.heatmap_head(feat)                  # [B,H,W,K]
+        hm = jax.nn.sigmoid(heatmap)
+        # peak NMS: 3×3 max-pool; classes 8/9 (pedestrian/traffic_cone on
+        # nuScenes) use kernel 1 (ref :222-239)
+        k = self.nms_kernel_size
+        pooled = nn.max_pool(hm, (k, k), strides=(1, 1),
+                             padding=((k // 2, k // 2), (k // 2, k // 2)))
+        peaks = jnp.where(hm == pooled, hm, 0.0)
+        if self.num_classes == 10:
+            peaks = peaks.at[..., 8:].set(hm[..., 8:])
+        flat = peaks.reshape(B, H * W * self.num_classes)
+        top_v, top_i = jax.lax.top_k(flat, self.num_proposals)
+        top_cls = top_i % self.num_classes
+        pix = top_i // self.num_classes                    # [B, Q]
+        ys = (pix // W).astype(jnp.float32)
+        xs = (pix % W).astype(jnp.float32)
+
+        feat_flat = feat.reshape(B, H * W, self.hidden_channel)
+        q_feat = jnp.take_along_axis(feat_flat, pix[..., None], 1)
+        onehot = jax.nn.one_hot(top_cls, self.num_classes, dtype=feat.dtype)
+        q_feat = q_feat + self.class_encoding(onehot)
+        q_pos = jnp.stack([xs, ys], -1)                    # [B,Q,2] grid xy
+
+        gy, gx = jnp.meshgrid(jnp.arange(H, dtype=jnp.float32),
+                              jnp.arange(W, dtype=jnp.float32), indexing='ij')
+        k_pos = jnp.stack([gx, gy], -1).reshape(1, H * W, 2)
+        k_pos = jnp.broadcast_to(k_pos, (B, H * W, 2))
+        q = self.decoder(q_feat, feat_flat, q_pos, k_pos)  # [B,Q,hid]
+
+        res = self.prediction_head(q[:, :, None], train)   # maps on [B,Q,1,·]
+        res = {kk: v[:, :, 0] for kk, v in res.items()}    # [B,Q,·]
+        res['center'] = res['center'] + q_pos              # ref :300-302
+        res['query_heatmap_score'] = jnp.take_along_axis(
+            hm.reshape(B, H * W, self.num_classes), pix[..., None], 1)
+        res['dense_heatmap'] = heatmap
+        res['query_labels'] = top_cls
+        return res
+
+    # ------------------------------------------------------------ decoding
+
+    def decode(self, res):
+        """Query predictions → boxes [B,Q,code-1] (x,y,z,dx,dy,dz,rot[,vx,vy])
+        + scores/labels (ref TransFusionBBoxCoder.decode, utils.py:79-125)."""
+        vx, vy = self.voxel_size[:2]
+        f = self.out_size_factor
+        x0, y0 = self.point_cloud_range[:2]
+        xy = res['center']
+        x = xy[..., 0] * f * vx + x0
+        y = xy[..., 1] * f * vy + y0
+        z = res['height'][..., 0]
+        dim = jnp.exp(jnp.clip(res['dim'], -5, 5))
+        rot = jnp.arctan2(res['rot'][..., 0], res['rot'][..., 1])
+        parts = [x[..., None], y[..., None], z[..., None], dim,
+                 rot[..., None]]
+        if self.with_velocity:
+            parts.append(res['vel'])
+        bboxes = jnp.concatenate(parts, -1)
+        scores = jax.nn.sigmoid(res['heatmap']) \
+            * res['query_heatmap_score']                    # [B,Q,K]
+        scores = jnp.take_along_axis(
+            scores, res['query_labels'][..., None], -1)[..., 0]
+        return bboxes, scores, res['query_labels']
+
+    def predict_by_feat(self, res):
+        bboxes, scores, labels = self.decode(res)
+        mask = scores > 0.0
+        return dict(bboxes=bboxes, scores=scores, labels=labels, mask=mask)
+
+    # ------------------------------------------------------------- training
+
+    def _encode_gt(self, gtb):
+        """GT box [..., 7+] → regression target in head units."""
+        vx, vy = self.voxel_size[:2]
+        f = self.out_size_factor
+        x0, y0 = self.point_cloud_range[:2]
+        cx = (gtb[..., 0] - x0) / (f * vx)
+        cy = (gtb[..., 1] - y0) / (f * vy)
+        parts = [cx[..., None], cy[..., None], gtb[..., 2:3],
+                 jnp.log(jnp.maximum(gtb[..., 3:6], 1e-4)),
+                 jnp.sin(gtb[..., 6:7]), jnp.cos(gtb[..., 6:7])]
+        if self.with_velocity:
+            parts.append(gtb[..., 7:9])
+        return jnp.concatenate(parts, -1)
+
+    def loss_by_feat(self, res, gt_bboxes, gt_labels, gt_mask):
+        """res: forward output; GT padded [B,G,·]. Ref loss:676-795."""
+        B, Q = res['center'].shape[:2]
+        heatmap = res['dense_heatmap']
+        Hf, Wf = heatmap.shape[1:3]
+        bboxes, _, _ = self.decode(res)
+
+        def one(resb, bx, gtb, gtl, gtm):
+            # --- matching cost (ref BBoxBEVL1Cost/IoU3DCost, utils.py:128-154)
+            cls_prob = jax.nn.sigmoid(resb['heatmap'])          # [Q,K]
+            gl = jnp.clip(gtl, 0)
+            p = cls_prob[..., gl]                               # [Q,G]
+            # focal-style cls cost (ref FocalLossCost weight 0.15)
+            cost_cls = -jnp.log(jnp.clip(p, 1e-8)) * ((1 - p) ** 2) * 0.25 \
+                - (-jnp.log(jnp.clip(1 - p, 1e-8)) * (p ** 2) * 0.75)
+            # normalized BEV L1 cost
+            pcr = jnp.asarray(self.point_cloud_range)
+            norm = pcr[3:5] - pcr[0:2]
+            pxy = bx[:, :2] / norm
+            gxy = gtb[:, :2] / norm
+            cost_reg = jnp.sum(jnp.abs(pxy[:, None] - gxy[None]), -1)
+            cost_iou = -iou_3d(bx[:, :7], gtb[:, :7])
+            cost = (self.cost_cls_weight * cost_cls
+                    + self.cost_reg_weight * cost_reg
+                    + self.cost_iou_weight * cost_iou)
+            qgt = greedy_assign(cost, gtm)                  # [Q]
+            pos = qgt >= 0
+            agt = jnp.clip(qgt, 0)
+            # --- cls loss: focal over all queries; matched → gt class
+            labels = jnp.where(pos, gtl[agt], self.num_classes)
+            onehot = jax.nn.one_hot(labels, self.num_classes)
+            npos = jnp.maximum(jnp.sum(pos.astype(jnp.float32)), 1.0)
+            preds = jnp.concatenate(
+                [resb['center'], resb['height'], resb['dim'], resb['rot']]
+                + ([resb['vel']] if self.with_velocity else []), -1)
+            l_cls = jnp.sum(sigmoid_focal_loss(resb['heatmap'], onehot)) \
+                / npos
+            # --- bbox L1 on matched pairs
+            tgt = self._encode_gt(gtb[agt])
+            cw = jnp.asarray(self.code_weights[:preds.shape[-1]])
+            l_bbox = jnp.sum(l1_loss(preds, tgt) * cw
+                             * pos[:, None].astype(preds.dtype)) / npos
+            return l_cls, l_bbox
+
+        l_cls, l_bbox = jax.vmap(one)(
+            jax.tree_util.tree_map(lambda a: a, {
+                'heatmap': res['heatmap'], 'center': res['center'],
+                'height': res['height'], 'dim': res['dim'],
+                'rot': res['rot'],
+                **({'vel': res['vel']} if self.with_velocity else {})}),
+            bboxes, gt_bboxes, gt_labels, gt_mask)
+
+        # --- dense heatmap loss (gaussian focal, ref :772-789)
+        vx, vy = self.voxel_size[:2]
+        f = self.out_size_factor
+        x0, y0 = self.point_cloud_range[:2]
+
+        def hm_one(gtb, gtl, gtm):
+            cx = (gtb[:, 0] - x0) / vx / f
+            cy = (gtb[:, 1] - y0) / vy / f
+            ok = gtm & (cx >= 0) & (cx < Wf) & (cy >= 0) & (cy < Hf)
+            r = gaussian_radius(
+                jnp.stack([gtb[:, 4] / vy / f, gtb[:, 3] / vx / f], -1),
+                self.gaussian_overlap)
+            r = jnp.maximum(self.min_radius, jnp.floor(r))
+            ctr = jnp.stack([cx, cy], -1)
+            return jnp.stack([
+                draw_heatmap(Hf, Wf, ctr, r, ok & (gtl == c))
+                for c in range(self.num_classes)], -1)
+
+        hm_tgt = jax.vmap(hm_one)(gt_bboxes, gt_labels, gt_mask)
+        hm_pred = jnp.clip(jax.nn.sigmoid(heatmap), 1e-4, 1 - 1e-4)
+        npos_hm = jnp.maximum(jnp.sum((hm_tgt == 1).astype(jnp.float32)),
+                              1.0)
+        l_hm = jnp.sum(gaussian_focal_loss(hm_pred, hm_tgt)) / npos_hm
+        return dict(
+            loss_heatmap=self.loss_heatmap_weight * l_hm,
+            loss_cls=self.loss_cls_weight * jnp.mean(l_cls),
+            loss_bbox=self.loss_bbox_weight * jnp.mean(l_bbox))
+
+
+class SeparateHeadSeq(nn.Module):
+    """SeparateHead over a [B, Q, 1, C] pseudo-map (1×1 'convs' ≡ Dense)."""
+    heads: Any
+    head_conv: int = 64
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        out = {}
+        for name, (out_c, num_conv) in dict(self.heads).items():
+            h = x
+            for i in range(num_conv - 1):
+                h = nn.Dense(self.head_conv, dtype=h.dtype,
+                             name=f'{name}_fc{i}')(h)
+                h = nn.LayerNorm(dtype=h.dtype, name=f'{name}_ln{i}')(h)
+                h = nn.relu(h)
+            h = nn.Dense(out_c, dtype=h.dtype, name=f'{name}_out')(h)
+            out[name] = h
+        return out

@@ -1,4 +1,5 @@
 from .voxelnet import VoxelNet
 from .centerpoint import CenterPoint
+from .bevfusion import BEVFusion, ConvFuser
 
-__all__ = ['VoxelNet', 'CenterPoint']
+__all__ = ['VoxelNet', 'CenterPoint', 'BEVFusion', 'ConvFuser']

@@ -1,0 +1,245 @@
+"""LSS camera→BEV view transforms (LSSTransform / DepthLSSTransform).
+
+TPU-native rebuild of ref projects/BEVFusion/bevfusion/depth_lss.py:
+- create_frustum:53 (D depth bins × feature grid), get_geometry:68
+  (frustum → lidar frame via inverse intrinsics/aug matrices),
+- bev_pool:179 (rank-sort interval sum → ops/bev_pool.py scatter-add),
+- LSSTransform:275 (1×1 depthnet, softmax depth ⊗ features),
+- BaseDepthTransform.forward:344 (LiDAR→camera projection builds a sparse
+  GT/input depth map; here a scatter-min for determinism),
+- DepthLSSTransform:555 (dtransform conv-encodes sparse depth, concat with
+  image feats → depthnet; BEV 2× downsample :729-733).
+
+TPU notes: the D×C outer product ("lift") is the FLOP hot spot — kept as one
+einsum so XLA fuses softmax + product; geometry is fp32 (the reference wraps
+the view transform in an fp32 autocast island, bevfusion.py:177).
+All feature maps NHWC.
+"""
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from ...ops.bev_pool import bev_pool
+from ...registry import MODELS
+from ..layers.common import ConvBNAct
+
+
+def _num_bins(bound):
+    return int(round((bound[1] - bound[0]) / bound[2]))
+
+
+class BaseLSS(nn.Module):
+    """Shared geometry machinery."""
+    in_channels: int = 256
+    out_channels: int = 80
+    image_size: Tuple[int, int] = (256, 704)
+    feature_size: Tuple[int, int] = (32, 88)
+    xbound: Sequence[float] = (-54.0, 54.0, 0.3)
+    ybound: Sequence[float] = (-54.0, 54.0, 0.3)
+    zbound: Sequence[float] = (-10.0, 10.0, 20.0)
+    dbound: Sequence[float] = (1.0, 60.0, 0.5)
+    downsample: int = 1
+
+    @property
+    def D(self):
+        return _num_bins(self.dbound)
+
+    @property
+    def bev_shape(self):
+        return (_num_bins(self.xbound), _num_bins(self.ybound),
+                _num_bins(self.zbound))
+
+    def create_frustum(self):
+        """[D, fH, fW, 3] (u_img, v_img, depth) — ref create_frustum:53."""
+        iH, iW = self.image_size
+        fH, fW = self.feature_size
+        D = self.D
+        ds = np.arange(*self.dbound, dtype=np.float32).reshape(D, 1, 1)
+        ds = np.broadcast_to(ds, (D, fH, fW))
+        xs = np.linspace(0, iW - 1, fW, dtype=np.float32).reshape(1, 1, fW)
+        xs = np.broadcast_to(xs, (D, fH, fW))
+        ys = np.linspace(0, iH - 1, fH, dtype=np.float32).reshape(1, fH, 1)
+        ys = np.broadcast_to(ys, (D, fH, fW))
+        return jnp.asarray(np.stack([xs, ys, ds], -1))
+
+    def get_geometry(self, cam2lidar, intrins, post_rots, post_trans,
+                     lidar_aug=None):
+        """Frustum → lidar-frame coords [B, N, D, fH, fW, 3].
+        Ref get_geometry:68-116. All fp32.
+
+        cam2lidar [B,N,4,4]; intrins [B,N,3,3]; post_rots [B,N,3,3];
+        post_trans [B,N,3]; lidar_aug [B,4,4] or None.
+        """
+        frustum = self.create_frustum()                   # [D,fH,fW,3]
+        pts = frustum[None, None] - post_trans[:, :, None, None, None, :]
+        inv_post = jnp.linalg.inv(post_rots)              # [B,N,3,3]
+        pts = jnp.einsum('bnij,bndhwj->bndhwi', inv_post, pts)
+        # undo perspective: (u, v, d) → (u*d, v*d, d)
+        pts = jnp.concatenate([pts[..., :2] * pts[..., 2:3], pts[..., 2:3]],
+                              -1)
+        combine = jnp.einsum('bnij,bnjk->bnik', cam2lidar[..., :3, :3],
+                             jnp.linalg.inv(intrins))
+        pts = jnp.einsum('bnij,bndhwj->bndhwi', combine, pts) \
+            + cam2lidar[:, :, None, None, None, :3, 3]
+        if lidar_aug is not None:
+            pts = jnp.einsum('bij,bndhwj->bndhwi', lidar_aug[:, :3, :3], pts) \
+                + lidar_aug[:, None, None, None, None, :3, 3]
+        return pts
+
+    def lift_and_pool(self, depth_logits, feats, geom):
+        """softmax(depth) ⊗ feats → bev_pool.
+
+        depth_logits [B,N,fH,fW,D]; feats [B,N,fH,fW,C];
+        geom [B,N,D,fH,fW,3] → [B, ny, nx, C*nz] NHWC.
+        """
+        depth = jax.nn.softmax(depth_logits.astype(jnp.float32), axis=-1)
+        frustum_feats = jnp.einsum('bnhwd,bnhwc->bndhwc',
+                                   depth, feats.astype(jnp.float32))
+        nx, ny, nz = self.bev_shape
+        out = bev_pool(
+            frustum_feats, geom,
+            bev_start=(self.xbound[0], self.ybound[0], self.zbound[0]),
+            bev_interval=(self.xbound[2], self.ybound[2], self.zbound[2]),
+            bev_shape=(nx, ny, nz))                       # [B, nz*C, ny, nx]
+        return jnp.transpose(out, (0, 2, 3, 1))           # NHWC
+
+
+def project_points_to_depth(points, points_mask, lidar2img, image_size,
+                            lidar_aug=None):
+    """Build per-camera sparse depth maps by projecting LiDAR points.
+
+    Ref BaseDepthTransform.forward:372-450 (torch scatter of per-point
+    distance into [B,N,1,H,W]); here a deterministic scatter-MIN (closest
+    point wins; the reference's write order is arbitrary).
+
+    points [B,P,3+]; lidar2img [B,N,4,4] (includes img_aug composition);
+    → depth [B, N, H, W] (0 where empty).
+    """
+    H, W = image_size
+    B, P = points.shape[:2]
+    xyz = points[..., :3].astype(jnp.float32)
+    if lidar_aug is not None:
+        # undo the lidar-frame augmentation before projecting (ref :381-388)
+        inv = jnp.linalg.inv(lidar_aug)
+        xyz = jnp.einsum('bij,bpj->bpi', inv[:, :3, :3], xyz) \
+            + inv[:, None, :3, 3]
+    hom = jnp.concatenate([xyz, jnp.ones_like(xyz[..., :1])], -1)  # [B,P,4]
+    proj = jnp.einsum('bnij,bpj->bnpi', lidar2img, hom)   # [B,N,P,4]
+    z = proj[..., 2]
+    uv = proj[..., :2] / jnp.maximum(z[..., None], 1e-5)
+    u = jnp.round(uv[..., 0]).astype(jnp.int32)
+    v = jnp.round(uv[..., 1]).astype(jnp.int32)
+    ok = (z > 1e-3) & (u >= 0) & (u < W) & (v >= 0) & (v < H) \
+        & points_mask[:, None, :]
+    flat = jnp.where(ok, v * W + u, H * W)
+
+    def one_cam(d, f, m):
+        init = jnp.full((H * W + 1,), jnp.inf, jnp.float32)
+        out = init.at[f].min(jnp.where(m, d, jnp.inf))
+        return out[:H * W].reshape(H, W)
+
+    depth = jax.vmap(jax.vmap(one_cam))(
+        jnp.broadcast_to(z, flat.shape), flat, ok)
+    return jnp.where(jnp.isfinite(depth), depth, 0.0)
+
+
+@MODELS.register_module()
+class LSSTransform(BaseLSS):
+    """Camera-only LSS (ref LSSTransform:275-341): 1×1 depthnet."""
+
+    @nn.compact
+    def __call__(self, img_feats, cam_params, points=None, points_mask=None,
+                 train: bool = False):
+        """img_feats [B,N,fH,fW,C]; cam_params dict with cam2lidar, intrins,
+        post_rots, post_trans, (lidar_aug)."""
+        B, N, fH, fW, C = img_feats.shape
+        x = img_feats.reshape(B * N, fH, fW, C)
+        x = nn.Conv(self.D + self.out_channels, (1, 1), name='depthnet')(x)
+        x = x.reshape(B, N, fH, fW, -1)
+        depth_logits = x[..., :self.D]
+        feats = x[..., self.D:]
+        geom = self.get_geometry(
+            cam_params['cam2lidar'], cam_params['intrins'],
+            cam_params['post_rots'], cam_params['post_trans'],
+            cam_params.get('lidar_aug'))
+        out = self.lift_and_pool(depth_logits, feats, geom)
+        if self.downsample > 1:
+            out = ConvBNAct(out.shape[-1], 3, padding=1,
+                            name='down_conv1')(out, train)
+            out = ConvBNAct(out.shape[-1], 3, stride=self.downsample,
+                            padding=1, name='down_conv2')(out, train)
+            out = ConvBNAct(out.shape[-1], 3, padding=1,
+                            name='down_conv3')(out, train)
+        return out, depth_logits
+
+
+@MODELS.register_module()
+class DepthLSSTransform(BaseLSS):
+    """Depth-aware LSS (ref DepthLSSTransform:555-733).
+
+    dtransform conv-encodes the sparse LiDAR depth map; concat with image
+    features feeds a conv depthnet.
+    """
+
+    @nn.compact
+    def __call__(self, img_feats, cam_params, points=None, points_mask=None,
+                 train: bool = False):
+        B, N, fH, fW, C = img_feats.shape
+        iH, iW = self.image_size
+        depth_map = project_points_to_depth(
+            points, points_mask, cam_params['lidar2img'],
+            (iH, iW), cam_params.get('lidar_aug'))        # [B,N,iH,iW]
+        d = depth_map.reshape(B * N, iH, iW, 1)
+        # dtransform: stride-8 conv stack to feature resolution
+        # (ref :581-592 — convs stride 1,2,2,2 with 8ch→32→64)
+        d = ConvBNAct(8, 1, name='dt0')(d, train)
+        d = ConvBNAct(32, 5, stride=4, padding=2, name='dt1')(d, train)
+        d = ConvBNAct(64, 5, stride=2, padding=2, name='dt2')(d, train)
+        x = jnp.concatenate([d, img_feats.reshape(B * N, fH, fW, C)], -1)
+        # depthnet (ref :593-600: three 3×3 convs then 1×1 to D+C)
+        x = ConvBNAct(self.in_channels, 3, padding=1, name='dn0')(x, train)
+        x = ConvBNAct(self.in_channels, 3, padding=1, name='dn1')(x, train)
+        x = nn.Conv(self.D + self.out_channels, (1, 1), name='dn_out')(x)
+        x = x.reshape(B, N, fH, fW, -1)
+        depth_logits = x[..., :self.D]
+        feats = x[..., self.D:]
+        geom = self.get_geometry(
+            cam_params['cam2lidar'], cam_params['intrins'],
+            cam_params['post_rots'], cam_params['post_trans'],
+            cam_params.get('lidar_aug'))
+        out = self.lift_and_pool(depth_logits, feats, geom)
+        if self.downsample > 1:
+            c = out.shape[-1]
+            out = ConvBNAct(c, 3, padding=1, name='down_conv1')(out, train)
+            out = ConvBNAct(c, 3, stride=self.downsample, padding=1,
+                            name='down_conv2')(out, train)
+            out = ConvBNAct(c, 3, padding=1, name='down_conv3')(out, train)
+        return out, depth_logits
+
+    def depth_loss(self, depth_logits, points, points_mask, cam_params):
+        """Depth-distribution CE masked to cells with LiDAR returns
+        (ref BaseDepthTransform :536-547 + get_downsampled_gt_depth)."""
+        iH, iW = self.image_size
+        fH, fW = self.feature_size
+        depth_map = project_points_to_depth(
+            points, points_mask, cam_params['lidar2img'], (iH, iW),
+            cam_params.get('lidar_aug'))
+        B, N = depth_map.shape[:2]
+        sh, sw = iH // fH, iW // fW
+        dm = depth_map.reshape(B, N, fH, sh, fW, sw)
+        dm = jnp.where(dm > 0, dm, jnp.inf)
+        dm = jnp.min(dm.transpose(0, 1, 2, 4, 3, 5).reshape(
+            B, N, fH, fW, sh * sw), -1)                   # closest per cell
+        has = jnp.isfinite(dm)
+        bin_idx = jnp.clip(
+            ((jnp.where(has, dm, 0.0) - self.dbound[0]) / self.dbound[2])
+            .astype(jnp.int32), 0, self.D - 1)
+        logp = jax.nn.log_softmax(depth_logits.astype(jnp.float32), -1)
+        ce = -jnp.take_along_axis(logp, bin_idx[..., None], -1)[..., 0]
+        n = jnp.maximum(jnp.sum(has.astype(jnp.float32)), 1.0)
+        return jnp.sum(jnp.where(has, ce, 0.0)) / n

@@ -43,6 +43,62 @@ def create_detector_inputs(rng=None, batch_size=1, num_points=512,
                 gt_mask=gt_mask)
 
 
+def create_multimodal_inputs(rng=None, batch_size=1, num_points=512,
+                             point_dim=5, num_gt=8, num_classes=10,
+                             num_cams=6, image_size=(256, 704),
+                             pc_range=(-54, -54, -5, 54, 54, 3),
+                             with_velocity=True):
+    """LiDAR + multi-camera batch with plausible camera calibration.
+
+    Cameras sit at the origin looking outward at evenly-spaced azimuths,
+    camera frame (x right, y down, z forward), lidar frame (x fwd, y left,
+    z up) — matches the nuScenes convention the reference consumes
+    (projects/BEVFusion/bevfusion/loading.py:14 lidar2img/cam2lidar stacks).
+    """
+    rng = rng or np.random.default_rng(0)
+    batch = create_detector_inputs(
+        rng=rng, batch_size=batch_size, num_points=num_points,
+        point_dim=point_dim, num_gt=num_gt, num_classes=num_classes,
+        pc_range=pc_range, with_velocity=with_velocity)
+    H, W = image_size
+    batch['imgs'] = rng.uniform(
+        -1, 1, (batch_size, num_cams, H, W, 3)).astype(np.float32)
+
+    fx = W * 0.8
+    intrins = np.zeros((num_cams, 3, 3), np.float32)
+    intrins[:, 0, 0] = fx
+    intrins[:, 1, 1] = fx
+    intrins[:, 0, 2] = W / 2
+    intrins[:, 1, 2] = H / 2
+    intrins[:, 2, 2] = 1
+
+    cam2lidar = np.zeros((num_cams, 4, 4), np.float32)
+    for i in range(num_cams):
+        az = 2 * np.pi * i / num_cams
+        fwd = np.array([np.cos(az), np.sin(az), 0.0])   # cam z in lidar
+        right = np.array([np.sin(az), -np.cos(az), 0.0])  # cam x in lidar
+        down = np.array([0.0, 0.0, -1.0])               # cam y in lidar
+        cam2lidar[i, :3, 0] = right
+        cam2lidar[i, :3, 1] = down
+        cam2lidar[i, :3, 2] = fwd
+        cam2lidar[i, 3, 3] = 1
+
+    k44 = np.tile(np.eye(4, dtype=np.float32), (num_cams, 1, 1))
+    k44[:, :3, :3] = intrins
+    lidar2img = k44 @ np.linalg.inv(cam2lidar)
+
+    def tile(a):
+        return np.tile(a[None], (batch_size,) + (1,) * a.ndim)
+
+    batch['intrins'] = tile(intrins)
+    batch['cam2lidar'] = tile(cam2lidar)
+    batch['lidar2img'] = tile(lidar2img.astype(np.float32))
+    batch['post_rots'] = tile(np.tile(np.eye(3, dtype=np.float32),
+                                      (num_cams, 1, 1)))
+    batch['post_trans'] = tile(np.zeros((num_cams, 3), np.float32))
+    return batch
+
+
 def build_detector_from_cfg(cfg):
     """Build a detector nn.Module from a model config dict."""
     import tpu_bev3d.models  # noqa: F401 — trigger registration
