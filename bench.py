@@ -1,12 +1,13 @@
-"""Benchmark: flagship-model inference frames/sec/chip on the local device.
+"""Benchmark: BEVFusion L+C (nuScenes geometry) inference frames/sec/chip.
 
 Prints ONE JSON line: {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}.
 
 Protocol mirrors the reference's FPS benchmark (ref: tools/analysis_tools/
 benchmark.py:35-82 — warmup then timed pure-inference iterations).
-vs_baseline: no BEVFusion GPU number is published in the reference repo
-(BASELINE.md), so we report against the 8xV100 SECOND train-throughput-derived
-inference anchor of ~20 fps/GPU until a reference checkpoint run pins it.
+vs_baseline: the reference publishes no BEVFusion FPS (BASELINE.md —
+"Inf time (fps)" columns empty); the public BEVFusion paper reports
+~8.4 fps on an A100 for the fused L+C model, used here as the anchor until
+a reference checkpoint run pins it.
 """
 import json
 import os
@@ -15,7 +16,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-BASELINE_FPS = 20.0  # provisional anchor, see module docstring
+BASELINE_FPS = 8.4  # BEVFusion L+C A100 (paper anchor), see docstring
 
 
 def main():
@@ -39,7 +40,7 @@ def main():
     bsz = batch['points'].shape[0]
     fps = n_iter * bsz / dt
     print(json.dumps({
-        'metric': 'flagship_inference_fps_per_chip',
+        'metric': 'bevfusion_lc_inference_fps_per_chip',
         'value': round(fps, 3),
         'unit': 'frames/sec/chip',
         'vs_baseline': round(fps / BASELINE_FPS, 3),
