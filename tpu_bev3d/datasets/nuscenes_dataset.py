@@ -1,0 +1,77 @@
+"""nuScenes dataset (ref: mmdet3d/datasets/nuscenes_dataset.py:14-248).
+
+parse_ann_info adds velocity → 9-DoF boxes and applies the
+``use_valid_flag`` / num_pts filter (ref _filter_with_mask:112-131);
+parse_data_info attaches multi-view camera info (ref :193-247).
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+
+from ..registry import DATASETS
+from .det3d_dataset import Det3DDataset
+
+
+@DATASETS.register_module()
+class NuScenesDataset(Det3DDataset):
+    METAINFO = {
+        'classes': ['car', 'truck', 'construction_vehicle', 'bus', 'trailer',
+                    'barrier', 'motorcycle', 'bicycle', 'pedestrian',
+                    'traffic_cone'],
+        'version': 'v1.0-trainval',
+    }
+
+    def __init__(self, *args, with_velocity: bool = True,
+                 use_valid_flag: bool = False, **kwargs):
+        self.with_velocity = with_velocity
+        self.use_valid_flag = use_valid_flag
+        super().__init__(*args, **kwargs)
+
+    def parse_ann_info(self, info: dict) -> Optional[dict]:
+        ann = super().parse_ann_info(info)
+        if ann is None:
+            return dict(
+                gt_bboxes_3d=np.zeros(
+                    (0, 9 if self.with_velocity else 7), np.float32),
+                gt_labels_3d=np.zeros((0,), np.int64))
+        instances = info.get('instances', [])
+        # validity filter (ref _filter_with_mask:112-131)
+        if self.use_valid_flag and instances \
+                and 'bbox_3d_isvalid' in instances[0]:
+            mask = np.asarray([i['bbox_3d_isvalid'] for i in instances], bool)
+        elif instances and 'num_lidar_pts' in instances[0]:
+            mask = np.asarray([i['num_lidar_pts'] for i in instances]) > 0
+        else:
+            mask = np.ones(len(ann['gt_labels_3d']), bool)
+        boxes = ann['gt_bboxes_3d'][mask]
+        labels = ann['gt_labels_3d'][mask]
+        if self.with_velocity and boxes.shape[1] == 7:
+            vel = np.stack([np.asarray(i.get('velocity', [0, 0]), np.float32)
+                            for i in instances], 0)[mask] \
+                if instances else np.zeros((0, 2), np.float32)
+            vel = np.nan_to_num(vel)
+            boxes = np.concatenate([boxes, vel], -1)
+        return dict(gt_bboxes_3d=boxes.astype(np.float32),
+                    gt_labels_3d=labels)
+
+    def parse_data_info(self, info: dict) -> dict:
+        out = super().parse_data_info(info)
+        # multi-view camera info (ref nuscenes_dataset.py:193-247)
+        if self.modality.get('use_camera') and 'images' in info:
+            imgs = info['images']
+            out['img_paths'] = []
+            out['lidar2img'] = []
+            out['cam2img'] = []
+            out['cam2lidar'] = []
+            for cam, ci in imgs.items():
+                out['img_paths'].append(ci.get('img_path'))
+                c2i = np.asarray(ci.get('cam2img', np.eye(3)), np.float32)
+                l2c = np.asarray(ci.get('lidar2cam', np.eye(4)), np.float32)
+                k = np.eye(4, dtype=np.float32)
+                k[:c2i.shape[0], :c2i.shape[1]] = c2i
+                out['cam2img'].append(c2i)
+                out['lidar2img'].append(k @ l2c)
+                out['cam2lidar'].append(np.linalg.inv(l2c))
+        return out

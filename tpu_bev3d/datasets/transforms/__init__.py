@@ -1,0 +1,16 @@
+from .loading import (LoadPointsFromFile, LoadPointsFromMultiSweeps,
+                      LoadAnnotations3D, LoadPointsFromDict)
+from .transforms_3d import (GlobalRotScaleTrans, RandomFlip3D,
+                            PointsRangeFilter, ObjectRangeFilter,
+                            ObjectNameFilter, PointShuffle, PointSample,
+                            ObjectSample)
+from .formating import Pack3DDetInputs
+from .dbsampler import DataBaseSampler
+
+__all__ = [
+    'LoadPointsFromFile', 'LoadPointsFromMultiSweeps', 'LoadAnnotations3D',
+    'LoadPointsFromDict', 'GlobalRotScaleTrans', 'RandomFlip3D',
+    'PointsRangeFilter', 'ObjectRangeFilter', 'ObjectNameFilter',
+    'PointShuffle', 'PointSample', 'ObjectSample', 'Pack3DDetInputs',
+    'DataBaseSampler',
+]

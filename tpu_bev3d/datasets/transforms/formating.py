@@ -1,0 +1,68 @@
+"""Pack pipeline results into the fixed-shape device batch.
+
+Ref: mmdet3d/datasets/transforms/formating.py:64-257 Pack3DDetInputs builds
+``inputs`` + Det3DDataSample. The TPU build's contract is stricter: every
+sample is padded to static capacities (num_points, max_gt) with validity
+masks so batches stack into fixed-shape arrays for jit.
+"""
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import numpy as np
+
+from ...registry import TRANSFORMS
+
+
+@TRANSFORMS.register_module()
+class Pack3DDetInputs:
+    def __init__(self, keys: Sequence[str] = (), num_points: int = 120000,
+                 max_gt: int = 64, box_dim: int = 7,
+                 meta_keys: Sequence[str] = (), **kw):
+        self.num_points = num_points
+        self.max_gt = max_gt
+        self.box_dim = box_dim
+        self.meta_keys = list(meta_keys)
+
+    def __call__(self, results: dict) -> dict:
+        pts = np.asarray(results['points'], np.float32)
+        P = self.num_points
+        n = min(len(pts), P)
+        points = np.zeros((P, pts.shape[1]), np.float32)
+        points[:n] = pts[:n]
+        mask = np.zeros((P,), bool)
+        mask[:n] = True
+
+        out = dict(points=points, points_mask=mask)
+        gtb = results.get('gt_bboxes_3d')
+        if gtb is not None:
+            gtb = np.asarray(gtb, np.float32).reshape(-1, gtb.shape[-1]) \
+                if np.size(gtb) else np.zeros((0, self.box_dim), np.float32)
+            gtl = np.asarray(results.get('gt_labels_3d',
+                                         np.zeros((0,), np.int64)))
+            G = self.max_gt
+            g = min(len(gtb), G)
+            bd = max(self.box_dim, gtb.shape[1] if len(gtb) else 0)
+            boxes = np.zeros((G, bd), np.float32)
+            boxes[:g, :gtb.shape[1]] = gtb[:g]
+            labels = np.zeros((G,), np.int32)
+            labels[:g] = gtl[:g]
+            gmask = np.zeros((G,), bool)
+            gmask[:g] = True
+            out.update(gt_bboxes_3d=boxes, gt_labels_3d=labels,
+                       gt_mask=gmask)
+        if 'imgs' in results:
+            out['imgs'] = np.asarray(results['imgs'], np.float32)
+            for k in ('cam2lidar', 'intrins', 'post_rots', 'post_trans',
+                      'lidar2img'):
+                if k in results:
+                    out[k] = np.asarray(results[k], np.float32)
+        if 'lidar_aug_matrix' in results:
+            out['lidar_aug'] = np.asarray(results['lidar_aug_matrix'],
+                                          np.float32)
+        meta = {k: results[k] for k in self.meta_keys if k in results}
+        for k in ('sample_idx', 'token', 'lidar_path'):
+            if k in results:
+                meta[k] = results[k]
+        out['metainfo'] = meta
+        return out

@@ -1,0 +1,149 @@
+"""Loading transforms (host-side numpy).
+
+Refs: mmdet3d/datasets/transforms/loading.py — LoadPointsFromFile:554
+(bin/pcd load, dim select), LoadPointsFromMultiSweeps:316 (sweep concat,
+time-lag channel, remove_close), LoadAnnotations3D:749.
+"""
+from __future__ import annotations
+
+import os
+from typing import Optional, Sequence
+
+import numpy as np
+
+from ...registry import TRANSFORMS
+
+
+def _load_points_file(path: str, load_dim: int) -> np.ndarray:
+    if path.endswith('.npy'):
+        pts = np.load(path)
+    else:
+        pts = np.fromfile(path, dtype=np.float32)
+    return pts.reshape(-1, load_dim).astype(np.float32)
+
+
+@TRANSFORMS.register_module()
+class LoadPointsFromFile:
+    """Ref loading.py:554-650."""
+
+    def __init__(self, coord_type: str = 'LIDAR', load_dim: int = 4,
+                 use_dim=4, shift_height: bool = False,
+                 backend_args=None, **kw):
+        self.load_dim = load_dim
+        self.use_dim = list(range(use_dim)) if isinstance(use_dim, int) \
+            else list(use_dim)
+
+    def __call__(self, results: dict) -> dict:
+        path = results.get('lidar_path') or \
+            results.get('lidar_points', {}).get('lidar_path')
+        pts = _load_points_file(path, self.load_dim)[:, self.use_dim]
+        results['points'] = pts
+        return results
+
+
+@TRANSFORMS.register_module()
+class LoadPointsFromDict:
+    """Inference API path: points already present as ndarray
+    (ref loading.py LoadPointsFromDict, used by apis/inference.py:143-146).
+    """
+
+    def __init__(self, coord_type: str = 'LIDAR', load_dim: int = 4,
+                 use_dim=4, **kw):
+        self.use_dim = list(range(use_dim)) if isinstance(use_dim, int) \
+            else list(use_dim)
+
+    def __call__(self, results: dict) -> dict:
+        results['points'] = np.asarray(
+            results['points'], np.float32)[:, self.use_dim]
+        return results
+
+
+@TRANSFORMS.register_module()
+class LoadPointsFromMultiSweeps:
+    """Concat up to sweeps_num previous sweeps with a time-lag channel
+    (ref loading.py:316-460): current sweep gets dt=0, each sweep's points
+    are transformed into the keyframe lidar frame, close points removed.
+    """
+
+    def __init__(self, sweeps_num: int = 10, load_dim: int = 5,
+                 use_dim=(0, 1, 2, 4), pad_empty_sweeps: bool = False,
+                 remove_close: bool = False, test_mode: bool = False, **kw):
+        self.sweeps_num = sweeps_num
+        self.load_dim = load_dim
+        self.use_dim = list(use_dim)
+        self.pad_empty_sweeps = pad_empty_sweeps
+        self.remove_close = remove_close
+        self.test_mode = test_mode
+
+    def _remove_close(self, pts, radius=1.0):
+        d = np.linalg.norm(pts[:, :2], axis=1)
+        return pts[d > radius]
+
+    def __call__(self, results: dict) -> dict:
+        pts = results['points']
+        # append dt channel = 0 for the keyframe
+        pts = np.concatenate(
+            [pts, np.zeros((len(pts), 1), np.float32)], -1)
+        sweeps = results.get('lidar_sweeps',
+                             results.get('sweeps', [])) or []
+        out = [pts]
+        if self.remove_close:
+            out = [np.concatenate([
+                self._remove_close(pts[:, :-1]),
+                np.zeros((len(self._remove_close(pts[:, :-1])), 1),
+                         np.float32)], -1)]
+        ts = results.get('timestamp', 0)
+        if not sweeps and self.pad_empty_sweeps:
+            out *= (self.sweeps_num + 1)
+        else:
+            n = min(len(sweeps), self.sweeps_num)
+            idxs = range(n) if self.test_mode or len(sweeps) <= \
+                self.sweeps_num else np.random.choice(
+                    len(sweeps), self.sweeps_num, replace=False)
+            for i in idxs:
+                sw = sweeps[i]
+                lp = sw.get('lidar_points', sw)
+                p = _load_points_file(lp.get('lidar_path',
+                                             lp.get('data_path', '')),
+                                      self.load_dim)
+                if self.remove_close:
+                    p = self._remove_close(p)
+                # transform into keyframe frame
+                mat = np.asarray(
+                    lp.get('lidar2sensor',
+                           sw.get('sensor2lidar', np.eye(4))), np.float32)
+                if 'sensor2lidar_rotation' in sw:
+                    R = np.asarray(sw['sensor2lidar_rotation'], np.float32)
+                    t = np.asarray(sw['sensor2lidar_translation'],
+                                   np.float32)
+                    p[:, :3] = p[:, :3] @ R.T + t
+                else:
+                    p[:, :3] = p[:, :3] @ mat[:3, :3].T + mat[:3, 3]
+                dt = ts - sw.get('timestamp', ts)
+                dtc = np.full((len(p), 1), float(dt) * 1e-6, np.float32)
+                out.append(np.concatenate(
+                    [p[:, :pts.shape[1] - 1], dtc], -1))
+        allpts = np.concatenate(out, 0)
+        results['points'] = allpts[:, self.use_dim + [allpts.shape[1] - 1]] \
+            if max(self.use_dim) < allpts.shape[1] - 1 else allpts
+        return results
+
+
+@TRANSFORMS.register_module()
+class LoadAnnotations3D:
+    """Move parsed ann_info into the working keys (ref loading.py:749-900)."""
+
+    def __init__(self, with_bbox_3d: bool = True, with_label_3d: bool = True,
+                 **kw):
+        self.with_bbox_3d = with_bbox_3d
+        self.with_label_3d = with_label_3d
+
+    def __call__(self, results: dict) -> Optional[dict]:
+        ann = results.get('ann_info') or {}
+        if self.with_bbox_3d:
+            results['gt_bboxes_3d'] = ann.get(
+                'gt_bboxes_3d', np.zeros((0, 7), np.float32))
+        if self.with_label_3d:
+            results['gt_labels_3d'] = ann.get(
+                'gt_labels_3d', np.zeros((0,), np.int64))
+        return results

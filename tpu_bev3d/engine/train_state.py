@@ -25,7 +25,8 @@ def create_train_state(model, batch, tx, rng=None):
     """Init model variables on the host and wrap in a TrainState."""
     import jax.numpy as jnp
     rng = rng if rng is not None else jax.random.PRNGKey(0)
-    variables = model.init(rng, batch, mode='tensor', train=False)
+    variables = jax.jit(
+        lambda r, b: model.init(r, b, mode='tensor', train=False))(rng, batch)
     params = variables['params']
     batch_stats = variables.get('batch_stats', {})
     opt_state = tx.init(params)
