@@ -1,0 +1,27 @@
+"""nuScenes metric (ref: mmdet3d/evaluation/metrics/nuscenes_metric.py:24 —
+process:125 per-sample collection, compute_metrics:149 → NDS/mAP; here the
+devkit call is replaced by the native evaluator in
+functional/nuscenes_eval.py, following the pkl-ann-based design of the
+BEVFusion project's NuScenesCustomMetric:185)."""
+from __future__ import annotations
+
+from typing import Dict, Sequence
+
+from ...registry import METRICS
+from ..functional.nuscenes_eval import nuscenes_eval
+from .base_metric import BaseMetric
+
+
+@METRICS.register_module()
+class NuScenesMetric(BaseMetric):
+    def __init__(self, classes: Sequence[str] = (), metric: str = 'bbox',
+                 **kwargs):
+        super().__init__(**kwargs)
+        self.classes = list(classes) or [
+            'car', 'truck', 'construction_vehicle', 'bus', 'trailer',
+            'barrier', 'motorcycle', 'bicycle', 'pedestrian', 'traffic_cone']
+
+    def compute_metrics(self) -> Dict[str, float]:
+        preds = [r[0] for r in self.results]
+        gts = [r[1] for r in self.results]
+        return nuscenes_eval(preds, gts, self.classes)
