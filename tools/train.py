@@ -1,0 +1,43 @@
+#!/usr/bin/env python
+"""Training CLI (ref: tools/train.py — Config + --cfg-options overrides +
+auto-resume; DDP/launcher flags are replaced by the automatic device mesh).
+
+Usage: python tools/train.py CONFIG [--work-dir DIR] [--resume]
+       [--cfg-options k.a=v ...]
+"""
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                '..'))
+
+
+def parse_args():
+    p = argparse.ArgumentParser(description='Train a 3D detector')
+    p.add_argument('config')
+    p.add_argument('--work-dir', default=None)
+    p.add_argument('--resume', action='store_true',
+                   help='auto-resume from the latest checkpoint in work_dir')
+    p.add_argument('--amp', action='store_true',
+                   help='bf16 params/activations (fp32 islands preserved)')
+    p.add_argument('--cfg-options', nargs='+', default=[])
+    return p.parse_args()
+
+
+def main():
+    args = parse_args()
+    from tpu_bev3d.config import Config
+    from tpu_bev3d.engine.runner import Runner
+
+    cfg = Config.fromfile(args.config)
+    if args.cfg_options:
+        cfg.merge_from_options(args.cfg_options)
+    work_dir = args.work_dir or os.path.join(
+        'work_dirs', os.path.splitext(os.path.basename(args.config))[0])
+    runner = Runner(cfg, work_dir=work_dir, resume=args.resume)
+    runner.train()
+
+
+if __name__ == '__main__':
+    main()

@@ -1,0 +1,147 @@
+"""Config-driven Runner: the TPU-native analogue of mmengine Runner as the
+reference uses it (ref: tools/train.py:130-141 Runner.from_cfg →
+runner.train(); tools/test.py → runner.test()).
+
+One data mesh over all devices; batch sharded over 'data'; params
+replicated; the jitted train step lets XLA insert the gradient psums
+(SURVEY §2.5 TPU-native equivalent).
+"""
+from __future__ import annotations
+
+import os
+from typing import Any, Dict, List, Optional
+
+import jax
+import numpy as np
+
+from ..config import Config
+from ..registry import DATASETS, METRICS, MODELS
+from .hooks import (BenchmarkHook, CheckpointHook, DisableObjectSampleHook,
+                    Hook, LoggerHook)
+from .optim import build_optimizer
+from .train_loop import (data_mesh, make_eval_step, make_train_step,
+                         replicate_state, shard_batch)
+from .train_state import create_train_state
+
+
+class Runner:
+    def __init__(self, cfg: Config, work_dir: str = 'work_dir',
+                 resume: bool = False):
+        import tpu_bev3d.models      # noqa: F401 — register components
+        import tpu_bev3d.evaluation  # noqa: F401 — register metrics
+        self.cfg = cfg
+        self.work_dir = work_dir
+        os.makedirs(work_dir, exist_ok=True)
+        self.model = MODELS.build(dict(cfg.model))
+        tcfg = cfg.get('train_cfg', {})
+        self.batch_size = tcfg.get('batch_size', 1)
+        # use as many devices as divide the batch (data-parallel over ICI)
+        import math
+        n_dev = math.gcd(self.batch_size, len(jax.devices())) or 1
+        self.mesh = data_mesh(jax.devices()[:n_dev])
+        self.max_epochs = tcfg.get('max_epochs', 1)
+        self.resume = resume
+        self.state = None
+        self.train_dataset = None
+
+    # ------------------------------------------------------------ building
+
+    def _build_dataset(self, dcfg):
+        from ..datasets import DataLoader  # noqa: F401 — registers datasets
+        return DATASETS.build(dict(dcfg))
+
+    def _build_loader(self, dcfg, shuffle):
+        from ..datasets import DataLoader
+        ds = self._build_dataset(dcfg)
+        nw = int(self.cfg.get('num_workers', 4))
+        return ds, DataLoader(ds, batch_size=self.batch_size,
+                              shuffle=shuffle, num_workers=nw)
+
+    def _first_device_batch(self, loader):
+        import jax.numpy as jnp
+        b = next(iter(loader))
+        return {k: jnp.asarray(v) for k, v in b.items() if k != 'metainfo'}
+
+    # ------------------------------------------------------------ training
+
+    def train(self):
+        tcfg = self.cfg.train_cfg
+        ds, loader = self._build_loader(self.cfg.train_dataloader.dataset,
+                                        shuffle=True)
+        self.train_dataset = ds
+        steps_per_epoch = max(len(loader), 1)
+        total_steps = steps_per_epoch * self.max_epochs
+        tx, sched = build_optimizer(
+            tcfg.get('optimizer', {}), total_steps,
+            tcfg.get('scheduler'), tcfg.get('clip_grad_norm'))
+        batch0 = self._first_device_batch(loader)
+        self.state = create_train_state(self.model, batch0, tx)
+        start_epoch = 0
+        if self.resume:
+            from .checkpoint import latest_checkpoint, restore_checkpoint
+            p = latest_checkpoint(self.work_dir)
+            if p:
+                self.state = restore_checkpoint(p, jax.device_get(self.state))
+                start_epoch = int(self.state.step) // steps_per_epoch
+                print(f'[resume] from {p} at epoch {start_epoch}')
+        self.state = replicate_state(self.state, self.mesh)
+        step_fn = make_train_step(self.model, tx)
+
+        hooks: List[Hook] = [
+            LoggerHook(interval=int(self.cfg.get('log_interval', 50)),
+                       work_dir=self.work_dir),
+            BenchmarkHook(self.batch_size),
+            CheckpointHook(self.work_dir,
+                           int(self.cfg.get('checkpoint_interval', 1))),
+        ]
+        for hcfg in self.cfg.get('custom_hooks', []):
+            if hcfg.get('type') == 'DisableObjectSampleHook':
+                hooks.append(DisableObjectSampleHook(
+                    hcfg.get('disable_after_epoch', 15)))
+
+        step = int(jax.device_get(self.state.step))
+        for epoch in range(start_epoch, self.max_epochs):
+            loader.set_epoch(epoch)
+            for h in hooks:
+                h.before_epoch(self, epoch)
+            for host_batch in loader:
+                import jax.numpy as jnp
+                batch = {k: jnp.asarray(v) for k, v in host_batch.items()
+                         if k != 'metainfo'}
+                batch = shard_batch(batch, self.mesh)
+                self.state, metrics = step_fn(self.state, batch)
+                step += 1
+                for h in hooks:
+                    h.after_iter(self, step, metrics)
+            for h in hooks:
+                h.after_epoch(self, epoch)
+        return self.state
+
+    # ---------------------------------------------------------- evaluation
+
+    def test(self, state=None) -> Dict[str, float]:
+        import jax.numpy as jnp
+        ds, loader = self._build_loader(self.cfg.test_dataloader.dataset,
+                                        shuffle=False)
+        metric = METRICS.build(dict(self.cfg.get(
+            'test_evaluator', {'type': 'NuScenesMetric'})))
+        state = state or self.state
+        if state is None:
+            from .checkpoint import latest_checkpoint, restore_checkpoint
+            tcfg = self.cfg.get('train_cfg', {})
+            tx, _ = build_optimizer(tcfg.get('optimizer', {}), 1)
+            batch0 = self._first_device_batch(loader)
+            state = create_train_state(self.model, batch0, tx)
+            p = latest_checkpoint(self.work_dir)
+            if p:
+                state = restore_checkpoint(p, jax.device_get(state))
+        eval_fn = make_eval_step(self.model)
+        for host_batch in loader:
+            batch = {k: jnp.asarray(v) for k, v in host_batch.items()
+                     if k != 'metainfo'}
+            preds = eval_fn(state, batch)
+            metric.process(jax.device_get(preds), host_batch)
+        out = metric.compute_metrics()
+        print('[eval]', {k: round(float(v), 4) for k, v in out.items()
+                         if not np.isnan(v)})
+        return out
