@@ -70,3 +70,45 @@ class VoxelNet(nn.Module):
         if mode == 'predict':
             return self._bbox_head.predict_by_feat(outs)
         raise ValueError(mode)
+
+
+@MODELS.register_module()
+class DynamicVoxelNet(VoxelNet):
+    """Dynamic-voxelization variant (ref mmdet3d/models/detectors/
+    dynamic_voxelnet.py): per-point voxel ids + DynamicVFE, no per-voxel
+    point capacity."""
+
+    def extract_feat(self, points, points_mask, train: bool = False):
+        import jax
+        from ...ops.voxelize import dynamic_voxelize, dynamic_scatter, \
+            grid_shape_of
+        B, P, C = points.shape
+        gx, gy, gz = grid_shape_of(tuple(self.voxel_size),
+                                   tuple(self.point_cloud_range))
+        V = self.max_voxels
+
+        def one(p, m):
+            coords = dynamic_voxelize(
+                p, m, voxel_size=tuple(self.voxel_size),
+                pc_range=tuple(self.point_cloud_range))
+            vf, vcoords, p2v, nv = dynamic_scatter(
+                p, coords, grid_shape=(gx, gy, gz), max_voxels=V,
+                reduce='mean')
+            return p, p2v, vcoords
+
+        pts, p2v, vcoords = jax.vmap(one)(points, points_mask)
+        # flatten batch with voxel-id offsets
+        offs = (jnp.arange(B, dtype=jnp.int32) * V)[:, None]
+        p2v_flat = jnp.where(p2v >= 0, p2v + offs, -1).reshape(B * P)
+        pts_flat = pts.reshape(B * P, C)
+        bidx = jnp.repeat(jnp.arange(B, dtype=jnp.int32), V).reshape(B, V, 1)
+        coords4 = jnp.concatenate(
+            [jnp.where(vcoords[..., :1] >= 0, bidx, -1), vcoords],
+            -1).reshape(B * V, 4)
+        vf = self._voxel_encoder(pts_flat, p2v_flat, B * V, coords4,
+                                 train=train)
+        x = self._middle_encoder(vf, coords4, B, train=train)
+        x = self._backbone(x, train=train)
+        if self._neck is not None:
+            x = self._neck(x, train=train)
+        return x

@@ -1,4 +1,5 @@
-from .voxel_encoder import HardSimpleVFE, DynamicSimpleVFE
+from .voxel_encoder import HardSimpleVFE, DynamicSimpleVFE, DynamicVFE
 from .pillar_encoder import PillarFeatureNet
 
-__all__ = ['HardSimpleVFE', 'DynamicSimpleVFE', 'PillarFeatureNet']
+__all__ = ['HardSimpleVFE', 'DynamicSimpleVFE', 'DynamicVFE',
+           'PillarFeatureNet']
