@@ -1,5 +1,7 @@
 from .anchor3d_head import Anchor3DHead
 from .centerpoint_head import CenterHead, SeparateHead
 from .transfusion_head import BEVFusionHead
+from .petr_head import PETRHead
 
-__all__ = ['Anchor3DHead', 'CenterHead', 'SeparateHead', 'BEVFusionHead']
+__all__ = ['Anchor3DHead', 'CenterHead', 'SeparateHead', 'BEVFusionHead',
+           'PETRHead']

@@ -1,6 +1,7 @@
 from .voxelnet import VoxelNet, DynamicVoxelNet
 from .centerpoint import CenterPoint
 from .bevfusion import BEVFusion, ConvFuser
+from .petr import PETR
 
 __all__ = ['VoxelNet', 'DynamicVoxelNet', 'CenterPoint', 'BEVFusion',
-           'ConvFuser']
+           'ConvFuser', 'PETR']
