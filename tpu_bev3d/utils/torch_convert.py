@@ -1,0 +1,126 @@
+"""Torch → JAX checkpoint conversion.
+
+The reference ships torch checkpoints (mmengine CheckpointHook output);
+parity evaluation needs their weights in our flax param tree (SURVEY §5
+checkpoint/resume: "a torch→jax weight converter is required for parity
+evaluation"; cf. the reference's own spconv weight-layout shim,
+mmdet3d/models/layers/spconv/overwrite_spconv/write_spconv2.py).
+
+Layout rules implemented here:
+- Conv2d:      torch [O, I, kh, kw]   → flax NHWC [kh, kw, I, O]
+- ConvTranspose2d: torch [I, O, kh, kw] → flax [kh, kw, I, O] (flax
+  ConvTranspose kernel layout) with spatial flip
+- Linear:      torch [O, I]           → flax [I, O]
+- BatchNorm:   weight/bias → scale/bias params; running_* → batch_stats
+- SparseConv3d (spconv v2): torch [O, kz, ky, kx, I] → ours [K³, I, O]
+  with K³ enumerated z-major (matches ops/sparse_conv._offsets)
+
+``convert_torch_checkpoint`` takes a torch state_dict (or .pth path) and a
+name-mapping table {torch_prefix: flax_path_tuple}; unmapped tensors are
+reported. Model-specific mapping tables live alongside the configs.
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Sequence, Tuple
+
+import numpy as np
+
+
+def _to_np(t):
+    try:
+        return t.detach().cpu().numpy()
+    except AttributeError:
+        return np.asarray(t)
+
+
+def conv2d_kernel(w):
+    return np.transpose(_to_np(w), (2, 3, 1, 0))
+
+
+def deconv2d_kernel(w):
+    # torch ConvTranspose2d [I, O, kh, kw]; flax ConvTranspose expects
+    # [kh, kw, I, O] and flips spatially relative to torch
+    w = np.transpose(_to_np(w), (2, 3, 0, 1))
+    return w[::-1, ::-1]
+
+
+def linear_kernel(w):
+    return np.transpose(_to_np(w), (1, 0))
+
+
+def sparse_conv_kernel(w):
+    """spconv v2 [O, kz, ky, kx, I] → [K³(z-major), I, O]."""
+    w = _to_np(w)
+    O, kz, ky, kx, I = w.shape
+    w = np.transpose(w, (1, 2, 3, 4, 0))       # [kz,ky,kx,I,O]
+    return w.reshape(kz * ky * kx, I, O)
+
+
+def load_torch_state_dict(path: str) -> Dict[str, Any]:
+    import torch
+    ckpt = torch.load(path, map_location='cpu', weights_only=False)
+    return ckpt.get('state_dict', ckpt)
+
+
+def set_in_tree(tree: dict, path: Sequence[str], value: np.ndarray,
+                strict_shape: bool = True):
+    node = tree
+    for p in path[:-1]:
+        node = node[p]
+    if strict_shape and hasattr(node[path[-1]], 'shape') and \
+            tuple(node[path[-1]].shape) != tuple(value.shape):
+        raise ValueError(
+            f'shape mismatch at {"/".join(path)}: '
+            f'{node[path[-1]].shape} vs {value.shape}')
+    node[path[-1]] = value
+
+
+def convert_torch_checkpoint(state_dict, variables: dict,
+                             mapping: Dict[str, Tuple[str, ...]],
+                             verbose: bool = True) -> dict:
+    """Apply a {torch_name: (collection, *flax_path)} mapping.
+
+    torch_name may end with a converter tag '|conv2d', '|deconv2d',
+    '|linear', '|spconv', '|raw' (default raw). Returns new variables dict
+    (deep-copied, numpy leaves).
+    """
+    import jax
+    from flax.core import unfreeze
+    out = unfreeze(jax.tree_util.tree_map(np.asarray, variables))
+    converters = dict(conv2d=conv2d_kernel, deconv2d=deconv2d_kernel,
+                      linear=linear_kernel, spconv=sparse_conv_kernel,
+                      raw=_to_np)
+    used = set()
+    for tname, fpath in mapping.items():
+        name, _, tag = tname.partition('|')
+        if name not in state_dict:
+            if verbose:
+                print(f'[convert] MISSING in torch ckpt: {name}')
+            continue
+        val = converters[tag or 'raw'](state_dict[name])
+        set_in_tree(out, fpath, val)
+        used.add(name)
+    if verbose:
+        unused = [k for k in state_dict if k not in used]
+        if unused:
+            print(f'[convert] {len(unused)} torch tensors unmapped '
+                  f'(first 5: {unused[:5]})')
+    return out
+
+
+def auto_map_convbn(torch_prefix: str, flax_prefix: Tuple[str, ...],
+                    kind: str = 'conv2d') -> Dict[str, Tuple[str, ...]]:
+    """Mapping entries for a ConvModule-style conv+BN pair onto ConvBNAct:
+    torch '<p>.conv.weight' + '<p>.bn.*' → flax Conv_0 / BatchNorm_0."""
+    return {
+        f'{torch_prefix}.conv.weight|{kind}':
+            ('params',) + flax_prefix + ('Conv_0', 'kernel'),
+        f'{torch_prefix}.bn.weight':
+            ('params',) + flax_prefix + ('BatchNorm_0', 'scale'),
+        f'{torch_prefix}.bn.bias':
+            ('params',) + flax_prefix + ('BatchNorm_0', 'bias'),
+        f'{torch_prefix}.bn.running_mean':
+            ('batch_stats',) + flax_prefix + ('BatchNorm_0', 'mean'),
+        f'{torch_prefix}.bn.running_var':
+            ('batch_stats',) + flax_prefix + ('BatchNorm_0', 'var'),
+    }
