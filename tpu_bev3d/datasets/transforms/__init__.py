@@ -6,11 +6,14 @@ from .transforms_3d import (GlobalRotScaleTrans, RandomFlip3D,
                             ObjectSample)
 from .formating import Pack3DDetInputs
 from .dbsampler import DataBaseSampler
+from .image_transforms import (BEVLoadMultiViewImageFromFiles, ImageAug3D,
+                               GridMask)
 
 __all__ = [
     'LoadPointsFromFile', 'LoadPointsFromMultiSweeps', 'LoadAnnotations3D',
     'LoadPointsFromDict', 'GlobalRotScaleTrans', 'RandomFlip3D',
     'PointsRangeFilter', 'ObjectRangeFilter', 'ObjectNameFilter',
     'PointShuffle', 'PointSample', 'ObjectSample', 'Pack3DDetInputs',
-    'DataBaseSampler',
+    'DataBaseSampler', 'BEVLoadMultiViewImageFromFiles', 'ImageAug3D',
+    'GridMask',
 ]
