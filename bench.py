@@ -21,6 +21,13 @@ BASELINE_FPS = 8.4  # BEVFusion L+C A100 (paper anchor), see docstring
 
 def main():
     import jax
+    # persistent compile cache: the remote-TPU compile of the full fused
+    # graph takes ~20 min cold; cached runs start in seconds
+    jax.config.update('jax_compilation_cache_dir',
+                      os.path.join(os.path.dirname(
+                          os.path.abspath(__file__)), '.jax_cache'))
+    jax.config.update('jax_persistent_cache_min_entry_size_bytes', -1)
+    jax.config.update('jax_persistent_cache_min_compile_time_secs', 0)
     from __graft_entry__ import entry
 
     fn, (variables, batch) = entry()
