@@ -55,6 +55,10 @@ class BEVFusion(nn.Module):
     max_num_points: int = 10
     max_voxels: int = 120000
     depth_loss_weight: float = 1.0
+    # 'bfloat16' runs backbones/necks/sparse conv in bf16 with fp32 islands
+    # (view-transform geometry + head), mirroring the reference's AMP
+    # autocast islands (bevfusion.py:177,201; tools/train.py:92-104)
+    compute_dtype: str = 'float32'
 
     def setup(self):
         self._voxel_encoder = MODELS.build(dict(self.voxel_encoder)) \
@@ -81,12 +85,12 @@ class BEVFusion(nn.Module):
             pc_range=tuple(self.point_cloud_range),
             max_points=self.max_num_points,
             max_voxels_per_sample=self.max_voxels, reduce='mean')
-        return self._middle_encoder(vox['voxels'], vox['coords'], B,
-                                    train=train)
+        vf = vox['voxels'].astype(jnp.dtype(self.compute_dtype))
+        return self._middle_encoder(vf, vox['coords'], B, train=train)
 
     def extract_img_feat(self, batch, train=False):
         """Ref extract_img_feat:143-193."""
-        imgs = batch['imgs']
+        imgs = batch['imgs'].astype(jnp.dtype(self.compute_dtype))
         B, N, H, W, C = imgs.shape
         x = imgs.reshape(B * N, H, W, C)
         feats = self._img_backbone(x, train=train)
@@ -128,7 +132,8 @@ class BEVFusion(nn.Module):
 
     def __call__(self, batch, mode: str = 'tensor', train: bool = False):
         x, depth_logits, cam_params = self.extract_feat(batch, train)
-        res = self._bbox_head(x, train=train)
+        # fp32 island for the head (heatmap sigmoid / decode precision)
+        res = self._bbox_head(x.astype(jnp.float32), train=train)
         if mode == 'tensor':
             return res
         if mode == 'loss':

@@ -168,6 +168,7 @@ class LSSTransform(BaseLSS):
             cam_params['post_rots'], cam_params['post_trans'],
             cam_params.get('lidar_aug'))
         out = self.lift_and_pool(depth_logits, feats, geom)
+        out = out.astype(img_feats.dtype)  # leave the fp32 island
         if self.downsample > 1:
             out = ConvBNAct(out.shape[-1], 3, padding=1,
                             name='down_conv1')(out, train)
@@ -213,6 +214,7 @@ class DepthLSSTransform(BaseLSS):
             cam_params['post_rots'], cam_params['post_trans'],
             cam_params.get('lidar_aug'))
         out = self.lift_and_pool(depth_logits, feats, geom)
+        out = out.astype(img_feats.dtype)  # leave the fp32 island
         if self.downsample > 1:
             c = out.shape[-1]
             out = ConvBNAct(c, 3, padding=1, name='down_conv1')(out, train)
