@@ -33,16 +33,23 @@ def main():
     fn, (variables, batch) = entry()
     jfn = jax.jit(fn)
 
-    # warmup / compile
-    out = jfn(variables, batch)
-    jax.block_until_ready(out)
+    # distinct pre-uploaded batches: repeated identical executions can be
+    # memoized by the device tunnel and report impossible times
+    import jax.numpy as jnp
+    batches = [batch]
+    for i in range(1, 4):
+        b = dict(batch)
+        b['points'] = batch['points'] + jnp.float32(0.001 * i)
+        batches.append(b)
 
-    n_warm, n_iter = 5, 20
-    for _ in range(n_warm):
-        jax.block_until_ready(jfn(variables, batch))
+    # warmup / compile + first-use of every input buffer
+    for b in batches:
+        jax.block_until_ready(jfn(variables, b))
+
+    n_iter = 12
     t0 = time.perf_counter()
-    for _ in range(n_iter):
-        jax.block_until_ready(jfn(variables, batch))
+    for i in range(n_iter):
+        jax.block_until_ready(jfn(variables, batches[i % len(batches)]))
     dt = time.perf_counter() - t0
     bsz = batch['points'].shape[0]
     fps = n_iter * bsz / dt

@@ -96,9 +96,11 @@ def _lookup(query_coords, query_valid, lin_sorted, order, spatial_shape,
 def _gather_gemm(features, idx_all, found_all, weight, preferred=jnp.float32):
     """Accumulate sum_k features[idx_k] @ W_k via scan over kernel offsets.
 
-    features [N, Cin]; idx_all [K, N]; found_all [K, N]; weight [K, Cin, Cout].
+    features [N, Cin]; idx_all [K, M]; found_all [K, M]; weight
+    [K, Cin, Cout]. M = output row count (may differ from N for strided
+    convs with a smaller out_capacity).
     """
-    N = features.shape[0]
+    N = idx_all.shape[1]
     Cout = weight.shape[-1]
     feats_pad = jnp.concatenate(
         [features, jnp.zeros((1, features.shape[1]), features.dtype)], 0)
