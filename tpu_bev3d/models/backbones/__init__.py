@@ -1,4 +1,5 @@
 from .second import SECOND
 from .swin import SwinTransformer
+from .pointnet2_sa_ssg import PointNet2SASSG
 
-__all__ = ['SECOND', 'SwinTransformer']
+__all__ = ['SECOND', 'SwinTransformer', 'PointNet2SASSG']

@@ -2,6 +2,7 @@ from .anchor3d_head import Anchor3DHead
 from .centerpoint_head import CenterHead, SeparateHead
 from .transfusion_head import BEVFusionHead
 from .petr_head import PETRHead
+from .vote_head import VoteHead
 
 __all__ = ['Anchor3DHead', 'CenterHead', 'SeparateHead', 'BEVFusionHead',
-           'PETRHead']
+           'PETRHead', 'VoteHead']
