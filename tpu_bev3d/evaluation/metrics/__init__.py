@@ -1,4 +1,5 @@
 from .nuscenes_metric import NuScenesMetric
 from .kitti_metric import KittiMetric
+from .seg_metric import SegMetric
 
-__all__ = ['NuScenesMetric', 'KittiMetric']
+__all__ = ['NuScenesMetric', 'KittiMetric', 'SegMetric']

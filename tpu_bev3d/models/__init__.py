@@ -13,3 +13,4 @@ from . import necks           # noqa: F401
 from . import dense_heads     # noqa: F401
 from . import view_transforms # noqa: F401
 from . import detectors       # noqa: F401
+from . import segmentors      # noqa: F401
