@@ -3,6 +3,7 @@ from .centerpoint_head import CenterHead, SeparateHead
 from .transfusion_head import BEVFusionHead
 from .petr_head import PETRHead
 from .vote_head import VoteHead
+from .fcos_mono3d_head import FCOSMono3DHead
 
 __all__ = ['Anchor3DHead', 'CenterHead', 'SeparateHead', 'BEVFusionHead',
-           'PETRHead', 'VoteHead']
+           'PETRHead', 'VoteHead', 'FCOSMono3DHead']

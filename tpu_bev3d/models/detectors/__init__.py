@@ -3,6 +3,7 @@ from .centerpoint import CenterPoint
 from .bevfusion import BEVFusion, ConvFuser
 from .petr import PETR
 from .votenet import VoteNet
+from .fcos_mono3d import FCOSMono3D
 
 __all__ = ['VoxelNet', 'DynamicVoxelNet', 'CenterPoint', 'BEVFusion',
-           'ConvFuser', 'PETR', 'VoteNet']
+           'ConvFuser', 'PETR', 'VoteNet', 'FCOSMono3D']
