@@ -4,6 +4,7 @@ from .bevfusion import BEVFusion, ConvFuser
 from .petr import PETR
 from .votenet import VoteNet
 from .fcos_mono3d import FCOSMono3D
+from .stream_petr import StreamPETR, StreamPETRHead
 
 __all__ = ['VoxelNet', 'DynamicVoxelNet', 'CenterPoint', 'BEVFusion',
-           'ConvFuser', 'PETR', 'VoteNet', 'FCOSMono3D']
+           'ConvFuser', 'PETR', 'VoteNet', 'FCOSMono3D', 'StreamPETR', 'StreamPETRHead']
