@@ -99,6 +99,9 @@ class Runner:
                 hooks.append(DisableObjectSampleHook(
                     hcfg.get('disable_after_epoch', 15)))
 
+        # optional profiler trace (ref BenchmarkHook + jax.profiler; set
+        # cfg.profile_steps = [start, end] to capture a trace)
+        prof = self.cfg.get('profile_steps')
         step = int(jax.device_get(self.state.step))
         for epoch in range(start_epoch, self.max_epochs):
             loader.set_epoch(epoch)
@@ -106,11 +109,17 @@ class Runner:
                 h.before_epoch(self, epoch)
             for host_batch in loader:
                 import jax.numpy as jnp
+                if prof and step == prof[0]:
+                    jax.profiler.start_trace(
+                        os.path.join(self.work_dir, 'trace'))
                 batch = {k: jnp.asarray(v) for k, v in host_batch.items()
                          if k != 'metainfo'}
                 batch = shard_batch(batch, self.mesh)
                 self.state, metrics = step_fn(self.state, batch)
                 step += 1
+                if prof and step == prof[1]:
+                    jax.block_until_ready(self.state.params)
+                    jax.profiler.stop_trace()
                 for h in hooks:
                     h.after_iter(self, step, metrics)
             for h in hooks:
