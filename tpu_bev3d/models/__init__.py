@@ -14,3 +14,4 @@ from . import dense_heads     # noqa: F401
 from . import view_transforms # noqa: F401
 from . import detectors       # noqa: F401
 from . import segmentors      # noqa: F401
+from . import roi_heads       # noqa: F401

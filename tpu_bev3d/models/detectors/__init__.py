@@ -5,6 +5,7 @@ from .petr import PETR
 from .votenet import VoteNet
 from .fcos_mono3d import FCOSMono3D
 from .stream_petr import StreamPETR, StreamPETRHead
+from .two_stage import TwoStage3DDetector
 
 __all__ = ['VoxelNet', 'DynamicVoxelNet', 'CenterPoint', 'BEVFusion',
-           'ConvFuser', 'PETR', 'VoteNet', 'FCOSMono3D', 'StreamPETR', 'StreamPETRHead']
+           'ConvFuser', 'PETR', 'VoteNet', 'FCOSMono3D', 'StreamPETR', 'StreamPETRHead', 'TwoStage3DDetector']
