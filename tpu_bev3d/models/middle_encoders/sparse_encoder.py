@@ -19,7 +19,8 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
-from ...ops.sparse_conv import (SparseTensor, sparse_conv3d, subm_conv3d)
+from ...ops.sparse_conv import (SparseTensor, build_subm_rulebook,
+                                sparse_conv3d, subm_conv3d)
 from ...registry import MODELS
 from ..layers.common import MaskedBatchNorm
 
@@ -36,7 +37,8 @@ class SparseConvLayer(nn.Module):
     act: bool = True
 
     @nn.compact
-    def __call__(self, st: SparseTensor, train: bool = False) -> SparseTensor:
+    def __call__(self, st: SparseTensor, train: bool = False,
+                 rulebook=None) -> SparseTensor:
         cin = st.features.shape[-1]
         k = int(np.prod(np.broadcast_to(np.asarray(self.kernel_size), (3,))))
         fan_in = cin * k
@@ -45,7 +47,8 @@ class SparseConvLayer(nn.Module):
                                                         'uniform'),
                        (k, cin, self.out_channels))
         if self.subm:
-            out = subm_conv3d(st, w, kernel_size=self.kernel_size)
+            out = subm_conv3d(st, w, kernel_size=self.kernel_size,
+                              rulebook=rulebook)
         else:
             out = sparse_conv3d(st, w, kernel_size=self.kernel_size,
                                 stride=self.stride, padding=self.padding,
@@ -85,8 +88,11 @@ class SparseEncoder(nn.Module):
         BEV features [B, H', W', C*D'] (NHWC)."""
         st = SparseTensor(voxel_features, coors, tuple(self.sparse_shape),
                           batch_size)
+        # SubM convs on the same coord table share one neighbor rulebook —
+        # compute it once per stage instead of per conv
+        rb = build_subm_rulebook(st, 3)
         st = SparseConvLayer(self.base_channels, 3, subm=True,
-                             name='conv_input')(st, train)
+                             name='conv_input')(st, train, rulebook=rb)
         cap = voxel_features.shape[0]
         n_stages = len(self.encoder_channels)
         for i, stage in enumerate(self.encoder_channels):
@@ -101,9 +107,11 @@ class SparseEncoder(nn.Module):
                         ch, 3, stride=2, padding=pad, subm=False,
                         out_capacity=cap,
                         name=f'encoder_{i}_{j}')(st, train)
+                    rb = build_subm_rulebook(st, 3)
                 else:
-                    st = SparseConvLayer(ch, 3, subm=True,
-                                         name=f'encoder_{i}_{j}')(st, train)
+                    st = SparseConvLayer(
+                        ch, 3, subm=True,
+                        name=f'encoder_{i}_{j}')(st, train, rulebook=rb)
         st = SparseConvLayer(self.output_channels,
                              self.conv_out_kernel, self.conv_out_stride,
                              padding=0, subm=False, out_capacity=cap,

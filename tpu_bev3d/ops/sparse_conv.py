@@ -94,33 +94,36 @@ def _lookup(query_coords, query_valid, lin_sorted, order, spatial_shape,
 
 
 def _gather_gemm(features, idx_all, found_all, weight, preferred=jnp.float32):
-    """Accumulate sum_k features[idx_k] @ W_k via scan over kernel offsets.
+    """sum_k features[idx_k] @ W_k as ONE im2col GEMM.
 
     features [N, Cin]; idx_all [K, M]; found_all [K, M]; weight
     [K, Cin, Cout]. M = output row count (may differ from N for strided
     convs with a smaller out_capacity).
+
+    The gathered [M, K·Cin] im2col matrix turns K tiny GEMMs into a single
+    [M, K·Cin]×[K·Cin, Cout] MXU GEMM — the contraction dim becomes K·Cin
+    (≥432 even at Cin=16), which is what the 128×128 systolic array wants.
     """
-    N = idx_all.shape[1]
+    K, M = idx_all.shape
+    Cin = features.shape[1]
     Cout = weight.shape[-1]
     feats_pad = jnp.concatenate(
-        [features, jnp.zeros((1, features.shape[1]), features.dtype)], 0)
-
-    def body(acc, inp):
-        idx, found, w = inp
-        g = feats_pad[idx] * found[:, None].astype(features.dtype)
-        return acc + jnp.dot(g, w, preferred_element_type=preferred), None
-
-    acc0 = jnp.zeros((N, Cout), preferred)
-    out, _ = jax.lax.scan(body, acc0, (idx_all, found_all, weight))
-    return out
+        [features, jnp.zeros((1, Cin), features.dtype)], 0)
+    g = feats_pad[idx_all] * found_all[..., None].astype(features.dtype)
+    g = jnp.transpose(g, (1, 0, 2)).reshape(M, K * Cin)
+    w = weight.reshape(K * Cin, Cout).astype(features.dtype)
+    return jnp.dot(g, w, preferred_element_type=preferred)
 
 
-def subm_conv3d(st: SparseTensor, weight, bias=None, kernel_size=3):
-    """Submanifold sparse conv: output coords == input coords
-    (ref spconv SubMConv3d). weight: [K³, Cin, Cout]."""
+def build_subm_rulebook(st: SparseTensor, kernel_size=3):
+    """Precompute the (idx_all [K,N], found_all [K,N]) neighbor maps for a
+    submanifold conv on this coordinate table. SubM convs in the same stage
+    share coords, so encoders compute this ONCE per stage and pass it to
+    every subm_conv3d (avoids re-running the searchsorted lookups — the
+    scalar-heavy part of the op)."""
     offs = _offsets(kernel_size)
     center = (np.broadcast_to(np.asarray(kernel_size), (3,)) - 1) // 2
-    deltas = jnp.asarray(offs - center, jnp.int32)          # [K, 3]
+    deltas = jnp.asarray(offs - center, jnp.int32)
     lin, valid = _linearize(st.coords, st.spatial_shape, st.batch_size)
     order = jnp.argsort(lin)
     lin_sorted = lin[order]
@@ -132,7 +135,18 @@ def subm_conv3d(st: SparseTensor, weight, bias=None, kernel_size=3):
         return _lookup(q, valid, lin_sorted, order, st.spatial_shape,
                        st.batch_size, N)
 
-    idx_all, found_all = jax.vmap(per_offset)(deltas)       # [K, N]
+    return jax.vmap(per_offset)(deltas)
+
+
+def subm_conv3d(st: SparseTensor, weight, bias=None, kernel_size=3,
+                rulebook=None):
+    """Submanifold sparse conv: output coords == input coords
+    (ref spconv SubMConv3d). weight: [K³, Cin, Cout]. ``rulebook``: cached
+    (idx_all, found_all) from build_subm_rulebook for this coord table."""
+    valid = st.valid
+    if rulebook is None:
+        rulebook = build_subm_rulebook(st, kernel_size)
+    idx_all, found_all = rulebook                           # [K, N]
     out = _gather_gemm(st.features, idx_all, found_all, weight)
     if bias is not None:
         out = out + bias
