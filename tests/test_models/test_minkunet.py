@@ -47,3 +47,32 @@ def test_minkunet_seg():
                     mask=np.ones((B, P), bool)),
                dict(pts_semantic_mask=batch['pts_semantic_mask']))
     assert m2.compute_metrics()['miou'] == 1.0
+
+
+def test_cylinder3d_seg():
+    cfg = dict(
+        type='Cylinder3D',
+        num_classes=5,
+        grid_shape=[32, 24, 8],
+        pc_range_cyl=[0.0, -3.14159265, -4.0, 50.0, 3.14159265, 2.0],
+        max_voxels=512,
+        backbone=dict(
+            type='MinkUNetBackbone',
+            in_channels=4,
+            base_channels=8,
+            encoder_channels=[8, 16, 16],
+            decoder_channels=[8, 8]))
+    model = build_detector_from_cfg(cfg)
+    rng = np.random.default_rng(0)
+    B, P = 1, 256
+    pts = rng.uniform([-30, -30, -3, 0], [30, 30, 1, 1],
+                      (B, P, 4)).astype(np.float32)
+    batch = dict(points=jnp.asarray(pts),
+                 points_mask=jnp.ones((B, P), bool),
+                 pts_semantic_mask=jnp.asarray(
+                     rng.integers(0, 5, (B, P)), jnp.int32))
+    variables = model.init(jax.random.PRNGKey(0), batch, mode='tensor')
+    losses = model.apply(variables, batch, mode='loss')
+    assert np.isfinite(float(losses['loss_sem_seg']))
+    preds = model.apply(variables, batch, mode='predict')
+    assert preds['pts_semantic_mask'].shape == (B, P)

@@ -1,0 +1,83 @@
+"""Cylinder3D: cylindrical-partition LiDAR segmentation.
+
+Ref: mmdet3d/models/segmentors/cylinder3d.py + backbones (Asymm3DSpconv
+over a cylindrical (rho, phi, z) grid) + data_preprocessor 'cylindrical'
+voxelize mode (data_preprocessor.py:397-428).
+
+TPU design: reuse the MinkUNet sparse-UNet backbone over the cylindrical
+voxel grid — the cylindrical partition changes only the point→voxel hash
+(ops/voxelize.cylindrical_coords); point features are augmented with their
+in-voxel cylindrical offsets like the reference's PFN-style encoder.
+"""
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from ...ops.sparse_conv import SparseTensor
+from ...ops.voxelize import cylindrical_coords, dynamic_scatter
+from ...registry import MODELS
+from ..losses.losses import softmax_cross_entropy
+
+
+@MODELS.register_module()
+class Cylinder3D(nn.Module):
+    backbone: Any = None
+    num_classes: int = 19
+    grid_shape: Any = (480, 360, 32)        # (n_rho, n_phi, n_z)
+    pc_range_cyl: Any = (0.0, -np.pi, -4.0, 50.0, np.pi, 2.0)
+    max_voxels: int = 60000
+    ignore_index: int = 255
+
+    def setup(self):
+        self._backbone = MODELS.build(dict(self.backbone))
+        self._cls = nn.Dense(self.num_classes)
+
+    def __call__(self, batch, mode: str = 'tensor', train: bool = False):
+        points, points_mask = batch['points'], batch['points_mask']
+        B, P, C = points.shape
+        n_rho, n_phi, n_z = self.grid_shape
+        V = self.max_voxels
+
+        def one(p, m):
+            coords = cylindrical_coords(
+                p, m, grid_shape=tuple(self.grid_shape),
+                pc_range_cyl=tuple(self.pc_range_cyl))
+            vf, vc, p2v, _ = dynamic_scatter(
+                p, coords, grid_shape=(n_rho, n_phi, n_z),
+                max_voxels=V, reduce='mean')
+            return vf, vc, p2v
+
+        vf, vc, p2v = jax.vmap(one)(points, points_mask)
+        bidx = jnp.repeat(jnp.arange(B, dtype=jnp.int32), V).reshape(B, V, 1)
+        coords4 = jnp.concatenate(
+            [jnp.where(vc[..., :1] >= 0, bidx, -1), vc], -1)
+        st = SparseTensor(vf.reshape(B * V, C), coords4.reshape(B * V, 4),
+                          (n_z, n_phi, n_rho), B)
+        st = self._backbone(st, train=train)
+        voxel_logits = self._cls(st.features)
+        pad = jnp.zeros((1, self.num_classes), voxel_logits.dtype)
+        vl = jnp.concatenate([voxel_logits, pad], 0)
+        offs = (jnp.arange(B, dtype=jnp.int32) * V)[:, None]
+        p2v_flat = jnp.where(p2v >= 0, p2v + offs, -1)
+        idx = jnp.where(p2v_flat >= 0, p2v_flat, vl.shape[0] - 1)
+        point_logits = vl[idx]
+        if mode == 'tensor':
+            return point_logits
+        if mode == 'loss':
+            labels = batch['pts_semantic_mask']
+            w = (points_mask & (labels != self.ignore_index)
+                 & (p2v_flat >= 0))
+            ce = softmax_cross_entropy(
+                point_logits, jnp.clip(labels, 0, self.num_classes - 1))
+            return dict(loss_sem_seg=jnp.sum(ce * w)
+                        / jnp.maximum(jnp.sum(w), 1.0))
+        if mode == 'predict':
+            return dict(pts_semantic_mask=jnp.argmax(point_logits, -1),
+                        logits=point_logits,
+                        mask=points_mask & (p2v_flat >= 0))
+        raise ValueError(mode)

@@ -199,6 +199,29 @@ def dynamic_scatter(feats, coords, *, grid_shape, max_voxels: int,
     return vf, vcoords, point2voxel, num_voxels
 
 
+def cylindrical_coords(points, points_mask, *, grid_shape, pc_range_cyl):
+    """Per-point cylindrical voxel coords (ref Det3DDataPreprocessor
+    'cylindrical' voxelize mode, data_preprocessor.py:397-428).
+
+    pc_range_cyl: (rho_min, phi_min, z_min, rho_max, phi_max, z_max) with
+    phi in radians (typically ±π). grid_shape: (n_rho, n_phi, n_z).
+    Returns [..., 3] int32 (z, phi, rho)-ordered coords, -1 invalid (same
+    (z, y, x)-style ordering as the cartesian path).
+    """
+    rho = jnp.linalg.norm(points[..., :2], axis=-1)
+    phi = jnp.arctan2(points[..., 1], points[..., 0])
+    z = points[..., 2]
+    cyl = jnp.stack([rho, phi, z], -1)
+    lo = jnp.asarray(pc_range_cyl[:3], jnp.float32)
+    hi = jnp.asarray(pc_range_cyl[3:], jnp.float32)
+    g = jnp.asarray(grid_shape, jnp.int32)
+    size = (hi - lo) / jnp.asarray(grid_shape, jnp.float32)
+    c = jnp.floor((cyl - lo) / size).astype(jnp.int32)
+    valid = points_mask & jnp.all((c >= 0) & (c < g), axis=-1)
+    czyx = c[..., ::-1]
+    return jnp.where(valid[..., None], czyx, -1)
+
+
 def batch_hard_voxelize(points, points_mask, *, voxel_size, pc_range,
                         max_points: int, max_voxels_per_sample: int,
                         reduce: str | None = None):
