@@ -181,6 +181,27 @@ def _jnp():
     return jnp
 
 
+def cam_to_lidar(boxes, cam2lidar, xp=np):
+    """Camera-frame boxes [N,7] (x right, y down, z fwd; y = bottom) →
+    LiDAR-frame [N,7]. Ref: Box3DMode.convert (box_3d_mode.py) with an
+    explicit rt_mat. dims (l, h, w) reorder to (dx=l, dy=w, dz=h); yaw
+    converts as lidar_yaw = -cam_yaw - π/2."""
+    ctr = xp.concatenate([boxes[:, :3], xp.ones_like(boxes[:, :1])], -1)
+    ctr = ctr @ xp.asarray(cam2lidar, dtype=boxes.dtype).T
+    l, h, w = boxes[:, 3:4], boxes[:, 4:5], boxes[:, 5:6]
+    yaw = -boxes[:, 6:7] - np.pi / 2
+    return xp.concatenate([ctr[:, :3], l, w, h, yaw], -1)
+
+
+def lidar_to_cam(boxes, lidar2cam, xp=np):
+    """Inverse of cam_to_lidar."""
+    ctr = xp.concatenate([boxes[:, :3], xp.ones_like(boxes[:, :1])], -1)
+    ctr = ctr @ xp.asarray(lidar2cam, dtype=boxes.dtype).T
+    dx, dy, dz = boxes[:, 3:4], boxes[:, 4:5], boxes[:, 5:6]
+    yaw = -(boxes[:, 6:7] + np.pi / 2)
+    return xp.concatenate([ctr[:, :3], dx, dz, dy, yaw], -1)
+
+
 # ---------------------------------------------------------------------------
 # Class wrapper for the host-side pipeline
 # ---------------------------------------------------------------------------
