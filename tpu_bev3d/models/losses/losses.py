@@ -134,6 +134,84 @@ class L1Loss:
 
 
 @MODELS.register_module()
+class RotatedIoULoss:
+    """1 - 3D IoU of rotated boxes (ref: mmdet3d/models/losses/
+    rotated_iou_loss.py via mmcv diff_iou_rotated_3d). Our polygon-clip
+    IoU (ops/iou3d.iou_3d) is differentiable, so no special kernel."""
+
+    def __init__(self, reduction='mean', loss_weight=1.0):
+        self.reduction, self.loss_weight = reduction, loss_weight
+
+    def __call__(self, pred, target, weight=None, avg_factor=None):
+        from ...ops.iou3d import iou_3d
+        import jax
+        iou = jax.vmap(lambda p, t: iou_3d(p[None], t[None])[0, 0])(
+            pred, target)
+        return self.loss_weight * _reduce(1.0 - iou, weight,
+                                          self.reduction, avg_factor)
+
+
+@MODELS.register_module()
+class AxisAlignedIoULoss:
+    """1 - IoU of axis-aligned 3D boxes [x1y1z1x2y2z2] (ref:
+    axis_aligned_iou_loss.py, used by FCAF3D/indoor heads)."""
+
+    def __init__(self, reduction='mean', loss_weight=1.0):
+        self.reduction, self.loss_weight = reduction, loss_weight
+
+    def __call__(self, pred, target, weight=None, avg_factor=None):
+        lt = jnp.maximum(pred[..., :3], target[..., :3])
+        rb = jnp.minimum(pred[..., 3:6], target[..., 3:6])
+        inter = jnp.prod(jnp.maximum(rb - lt, 0.0), -1)
+        v1 = jnp.prod(jnp.maximum(pred[..., 3:6] - pred[..., :3], 0), -1)
+        v2 = jnp.prod(jnp.maximum(target[..., 3:6] - target[..., :3], 0),
+                      -1)
+        iou = inter / jnp.maximum(v1 + v2 - inter, 1e-8)
+        return self.loss_weight * _reduce(1.0 - iou, weight,
+                                          self.reduction, avg_factor)
+
+
+@MODELS.register_module()
+class UncertainSmoothL1Loss:
+    """Smooth-L1 with learned aleatoric uncertainty (ref:
+    uncertain_smooth_l1_loss.py, used by PGD depth)."""
+
+    def __init__(self, alpha=1.0, beta=1.0, reduction='mean',
+                 loss_weight=1.0):
+        self.alpha, self.beta = alpha, beta
+        self.reduction, self.loss_weight = reduction, loss_weight
+
+    def __call__(self, pred, target, sigma, weight=None, avg_factor=None):
+        loss = jnp.exp(-sigma) * smooth_l1_loss(pred, target, self.beta) \
+            + self.alpha * sigma
+        return self.loss_weight * _reduce(loss, weight, self.reduction,
+                                          avg_factor)
+
+
+def chamfer_distance(src, dst, src_mask=None, dst_mask=None):
+    """Bidirectional chamfer over padded point sets [N,3]/[M,3]
+    (ref: chamfer_distance.py, VoteNet center loss)."""
+    d2 = jnp.sum((src[:, None] - dst[None]) ** 2, -1)
+    if dst_mask is not None:
+        d2 = jnp.where(dst_mask[None], d2, jnp.inf)
+    fwd = jnp.min(d2, -1)
+    if src_mask is not None:
+        fwd = jnp.where(src_mask, fwd, 0.0)
+        n_src = jnp.maximum(jnp.sum(src_mask), 1)
+    else:
+        n_src = src.shape[0]
+    d2b = d2 if src_mask is None else jnp.where(src_mask[:, None], d2,
+                                                jnp.inf)
+    bwd = jnp.min(d2b, 0)
+    if dst_mask is not None:
+        bwd = jnp.where(dst_mask, bwd, 0.0)
+        n_dst = jnp.maximum(jnp.sum(dst_mask), 1)
+    else:
+        n_dst = dst.shape[0]
+    return jnp.sum(fwd) / n_src, jnp.sum(bwd) / n_dst
+
+
+@MODELS.register_module()
 class CrossEntropyLoss:
     def __init__(self, use_sigmoid=False, reduction='mean', loss_weight=1.0):
         self.use_sigmoid = use_sigmoid
