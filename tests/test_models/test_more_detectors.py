@@ -76,3 +76,26 @@ def test_inference_api(tmp_path):
     pts.tofile(p)
     res2 = inference_detector(model, str(p))
     assert np.allclose(res2[0]['bboxes'], res[0]['bboxes'])
+
+
+def test_lidar_inferencer(tmp_path):
+    from tpu_bev3d.apis import LidarDet3DInferencer
+    cfg = Config.fromfile('configs/pointpillars/pointpillars_kitti_3class.py')
+    m = cfg.model
+    m.voxel_size = [0.64, 0.64, 4]
+    m.max_voxels = 256
+    m.max_num_points = 8
+    m.voxel_encoder.voxel_size = [0.64, 0.64, 4]
+    m.middle_encoder.output_shape = [128, 112]
+    m.bbox_head.nms_pre = 64
+    m.bbox_head.max_num = 8
+    cfg['inference_num_points'] = 512
+    inf = LidarDet3DInferencer(__import__('tpu_bev3d.apis',
+                                          fromlist=['init_model'])
+                               .init_model(cfg))
+    pts = np.random.default_rng(0).uniform(
+        [0, -40, -3, 0], [70, 40, 1, 1], (300, 4)).astype(np.float32)
+    out = inf(pts, out_dir=str(tmp_path), score_thr=0.0)
+    assert 'predictions' in out and len(out['predictions']) == 1
+    import os
+    assert os.path.exists(tmp_path / 'vis_0.png')
