@@ -1,4 +1,6 @@
 from .pillar_scatter import PointPillarsScatter
 from .sparse_encoder import SparseEncoder, BEVFusionSparseEncoder
+from .dense_encoder import DenseVoxelEncoder
 
-__all__ = ['PointPillarsScatter', 'SparseEncoder', 'BEVFusionSparseEncoder']
+__all__ = ['PointPillarsScatter', 'SparseEncoder', 'BEVFusionSparseEncoder',
+           'DenseVoxelEncoder']
