@@ -1,0 +1,114 @@
+"""Devkit-free nuScenes converter on a synthetic mini nuScenes directory
+(JSON tables + bin files)."""
+import json
+import os
+import pickle
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                '..', '..', 'tools'))
+
+
+def _make_mini_nuscenes(root):
+    v = root / 'v1.0-mini'
+    os.makedirs(v, exist_ok=True)
+    os.makedirs(root / 'samples/LIDAR_TOP', exist_ok=True)
+    os.makedirs(root / 'samples/CAM_FRONT', exist_ok=True)
+    ident = [1.0, 0.0, 0.0, 0.0]
+
+    tables = dict(
+        scene=[dict(token='sc0', name='scene0')],
+        sample=[
+            dict(token='s0', timestamp=1000000, scene_token='sc0',
+                 prev='', next='s1'),
+            dict(token='s1', timestamp=1500000, scene_token='sc0',
+                 prev='s0', next=''),
+        ],
+        sensor=[dict(token='se_l', channel='LIDAR_TOP',
+                     modality='lidar'),
+                dict(token='se_c', channel='CAM_FRONT',
+                     modality='camera')],
+        calibrated_sensor=[
+            dict(token='cs_l', sensor_token='se_l', rotation=ident,
+                 translation=[0.9, 0, 1.8], camera_intrinsic=[]),
+            dict(token='cs_c', sensor_token='se_c',
+                 rotation=[0.5, -0.5, 0.5, -0.5],
+                 translation=[1.7, 0, 1.5],
+                 camera_intrinsic=[[1000, 0, 800], [0, 1000, 450],
+                                   [0, 0, 1]]),
+        ],
+        ego_pose=[
+            dict(token='ep0', rotation=ident, translation=[100, 50, 0],
+                 timestamp=1000000),
+            dict(token='ep1', rotation=ident, translation=[105, 50, 0],
+                 timestamp=1500000),
+        ],
+        sample_data=[
+            dict(token='sd_l0', sample_token='s0',
+                 calibrated_sensor_token='cs_l', ego_pose_token='ep0',
+                 filename='samples/LIDAR_TOP/0.bin', is_key_frame=True,
+                 timestamp=1000000, prev='', next=''),
+            dict(token='sd_c0', sample_token='s0',
+                 calibrated_sensor_token='cs_c', ego_pose_token='ep0',
+                 filename='samples/CAM_FRONT/0.jpg', is_key_frame=True,
+                 timestamp=1000000, prev='', next=''),
+            dict(token='sd_l1', sample_token='s1',
+                 calibrated_sensor_token='cs_l', ego_pose_token='ep1',
+                 filename='samples/LIDAR_TOP/1.bin', is_key_frame=True,
+                 timestamp=1500000, prev='', next=''),
+        ],
+        category=[dict(token='cat_car', name='vehicle.car')],
+        instance=[dict(token='in0', category_token='cat_car')],
+        sample_annotation=[
+            dict(token='a0', sample_token='s0', instance_token='in0',
+                 translation=[110, 52, 1.0], size=[2.0, 4.5, 1.6],
+                 rotation=ident, prev='', next='a1', num_lidar_pts=30),
+            dict(token='a1', sample_token='s1', instance_token='in0',
+                 translation=[112, 52, 1.0], size=[2.0, 4.5, 1.6],
+                 rotation=ident, prev='a0', next='', num_lidar_pts=30),
+        ],
+    )
+    for name, rows in tables.items():
+        with open(v / f'{name}.json', 'w') as f:
+            json.dump(rows, f)
+    pts = np.random.default_rng(0).uniform(
+        -20, 20, (300, 5)).astype(np.float32)
+    pts.tofile(root / 'samples/LIDAR_TOP/0.bin')
+    pts.tofile(root / 'samples/LIDAR_TOP/1.bin')
+
+
+def test_nuscenes_converter(tmp_path):
+    from nuscenes_converter import create_nuscenes_infos
+    _make_mini_nuscenes(tmp_path)
+    out = create_nuscenes_infos(str(tmp_path), 'v1.0-mini')
+    with open(out, 'rb') as f:
+        data = pickle.load(f)
+    infos = data['data_list']
+    assert len(infos) == 2
+    i0 = infos[0]
+    assert 'CAM_FRONT' in i0['images']
+    inst = i0['instances'][0]
+    box = np.asarray(inst['bbox_3d'])
+    # ann global (110,52,1) − ego (100,50,0) − lidar mount (0.9,0,1.8):
+    # center (9.1, 2, -0.8); bbox stores bottom z = center - h/2
+    assert np.allclose(box[:3], [9.1, 2.0, -0.8 - 0.8], atol=1e-4)
+    # nuScenes size (w,l,h) → (dx=l, dy=w, dz=h)
+    assert np.allclose(box[3:6], [4.5, 2.0, 1.6], atol=1e-5)
+    # velocity ≈ (112-110)/0.5s = 4 m/s along x
+    assert np.allclose(inst['velocity'], [4.0, 0.0], atol=1e-3)
+
+    # loads through NuScenesDataset
+    from tpu_bev3d.datasets import NuScenesDataset
+    ds = NuScenesDataset(
+        data_root=str(tmp_path), ann_file=os.path.basename(out),
+        pipeline=[
+            dict(type='LoadPointsFromFile', load_dim=5, use_dim=5),
+            dict(type='LoadAnnotations3D'),
+            dict(type='Pack3DDetInputs', num_points=512, max_gt=8,
+                 box_dim=9)])
+    s = ds[0]
+    assert s['gt_bboxes_3d'].shape == (8, 9)
+    assert s['gt_mask'].sum() == 1
