@@ -99,3 +99,27 @@ def test_lidar_inferencer(tmp_path):
     assert 'predictions' in out and len(out['predictions']) == 1
     import os
     assert os.path.exists(tmp_path / 'vis_0.png')
+
+
+def test_pointpillars_nus_velocity_boxes():
+    cfg = Config.fromfile('configs/pointpillars/pointpillars_nus.py')
+    m = cfg.model
+    m.voxel_size = [1.0, 1.0, 8]
+    m.max_voxels = 256
+    m.max_num_points = 8
+    m.voxel_encoder.voxel_size = [1.0, 1.0, 8]
+    m.middle_encoder.output_shape = [104, 104]
+    m.bbox_head.nms_pre = 64
+    m.bbox_head.max_num = 16
+    model = build_detector_from_cfg(m)
+    batch = create_detector_inputs(
+        batch_size=1, num_points=256, num_gt=4, num_classes=10,
+        pc_range=(-50, -50, -5, 50, 50, 3), with_velocity=True)
+    batch = {k: jnp.asarray(v) for k, v in batch.items()}
+    variables = model.init(jax.random.PRNGKey(0), batch, mode='tensor')
+    losses, _ = model.apply(variables, batch, mode='loss', train=True,
+                            mutable=['batch_stats'])
+    for k, v in losses.items():
+        assert np.isfinite(float(v)), k
+    preds = model.apply(variables, batch, mode='predict')
+    assert preds['bboxes'].shape == (1, 16, 9)

@@ -83,8 +83,14 @@ class Anchor3DHead(nn.Module):
         closed over as a constant under jit)."""
         anc = self._gen.grid_anchors(featmap_size)      # [H, W, A, 7]
         H, W, A, _ = anc.shape
+        anc = anc.reshape(-1, 7)
+        if self.box_code_size > 7:
+            # velocity anchors are zero (ref anchor coder with code_size 9)
+            anc = np.concatenate(
+                [anc, np.zeros((anc.shape[0], self.box_code_size - 7),
+                               np.float32)], -1)
         cls = np.tile(self._gen.anchor_classes(self.num_classes), H * W)
-        return jnp.asarray(anc.reshape(-1, 7)), jnp.asarray(cls)
+        return jnp.asarray(anc), jnp.asarray(cls)
 
     def loss_by_feat(self, outs, gt_bboxes, gt_labels, gt_mask):
         """Args:
