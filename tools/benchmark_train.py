@@ -1,0 +1,67 @@
+#!/usr/bin/env python
+"""Training-throughput benchmark (samples/s) for any config on synthetic
+batches (ref: BenchmarkHook, mmdet3d/engine/hooks/benchmark_hook.py:14-38;
+BASELINE.md train-throughput rows)."""
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                '..'))
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument('config')
+    p.add_argument('--batch-size', type=int, default=None)
+    p.add_argument('--num-points', type=int, default=20000)
+    p.add_argument('--iters', type=int, default=20)
+    args = p.parse_args()
+
+    import jax
+    import numpy as np
+    import jax.numpy as jnp
+    jax.config.update('jax_compilation_cache_dir', os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), '..', '.jax_cache'))
+    from tpu_bev3d.config import Config
+    from tpu_bev3d.engine import (build_optimizer, create_train_state,
+                                  make_train_step)
+    from tpu_bev3d.testing import (build_detector_from_cfg,
+                                   create_detector_inputs)
+
+    cfg = Config.fromfile(args.config)
+    bsz = args.batch_size or cfg.get('train_cfg', {}).get('batch_size', 2)
+    model = build_detector_from_cfg(cfg.model)
+    ve = cfg.model.get('voxel_encoder', {}) or {}
+    pdim = int(ve.get('in_channels', ve.get('num_features', 4)))
+
+    def mk(seed):
+        b = create_detector_inputs(
+            rng=np.random.default_rng(seed), batch_size=bsz,
+            num_points=args.num_points, point_dim=pdim,
+            pc_range=tuple(cfg.model.point_cloud_range))
+        return {k: jnp.asarray(v) for k, v in b.items()}
+
+    batches = [mk(i) for i in range(4)]
+    tcfg = cfg.get('train_cfg', {})
+    tx, _ = build_optimizer(tcfg.get('optimizer', {}), 1000,
+                            tcfg.get('scheduler'),
+                            tcfg.get('clip_grad_norm'))
+    state = create_train_state(model, batches[0], tx)
+    step = make_train_step(model, tx, donate=False)
+    for b in batches:
+        state, m = step(state, b)
+    jax.block_until_ready(m['loss'])
+    t0 = time.perf_counter()
+    for i in range(args.iters):
+        state, m = step(state, batches[i % 4])
+    jax.block_until_ready(m['loss'])
+    dt = time.perf_counter() - t0
+    sps = args.iters * bsz / dt
+    print(f'{sps:.2f} train samples/s/chip '
+          f'({dt / args.iters * 1000:.1f} ms/step, bs={bsz})')
+
+
+if __name__ == '__main__':
+    main()
