@@ -5,19 +5,22 @@ these grid sizes. On TPU the trade flips: the sparse gather-GEMM's
 random-row gathers are scalar-bound (~700 ms/frame for the BEVFusion
 encoder), while a dense NDHWC conv over the same [41,1440,1440] grid is
 pure MXU work (~1 TFLOP ≈ tens of ms at bf16). This encoder scatters the
-voxel table into a dense volume and runs the SECOND-style stage plan as
+voxel table into a dense volume and runs a SECOND-style stage plan as
 dense 3D convs, reducing z into channels at the end exactly like
 SparseEncoder (ref mmdet3d sparse_encoder.py:122-155 contract: same
 [B, H/8, W/8, C_out·D'] BEV output).
 
-The stem conv downsamples immediately (stride 2) so the full-resolution
-dense volume only exists at the input channel count — peak activation
-memory ≈ D·H·W·C_in·2 bytes (0.9 GB for BEVFusion at bf16).
+space_to_depth packs each 2×2×2 voxel block into channels during the
+scatter itself, so the full-resolution volume never exists: the first conv
+already runs at half resolution with 8·C_in channels (MXU-friendly) and
+peak activation memory drops to D·H·W·C_in/1 bytes spread over 8× fewer
+spatial sites.
 """
 from __future__ import annotations
 
 from typing import Sequence, Tuple
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -44,6 +47,26 @@ class Conv3DBNAct(nn.Module):
         return x
 
 
+def scatter_space_to_depth(voxel_feats, coords, *, batch_size, nz, ny, nx):
+    """Scatter [V, C] voxels into a 2×-packed dense volume
+    [B, ⌈D/2⌉, ⌈H/2⌉, ⌈W/2⌉, 8·C] (channel block = z%2·4 + y%2·2 + x%2)."""
+    V, C = voxel_feats.shape
+    dz, dy, dx = (nz + 1) // 2, (ny + 1) // 2, (nx + 1) // 2
+    valid = coords[:, 0] >= 0
+    z, y, x = coords[:, 1], coords[:, 2], coords[:, 3]
+    sub = (z % 2) * 4 + (y % 2) * 2 + (x % 2)
+    flat = (coords[:, 0] * (dz * dy * dx) + (z // 2) * (dy * dx)
+            + (y // 2) * dx + (x // 2))
+    flat = jnp.where(valid, flat, batch_size * dz * dy * dx)
+    onehot = jax.nn.one_hot(sub, 8, dtype=voxel_feats.dtype)
+    wide = (onehot[:, :, None] * voxel_feats[:, None, :]).reshape(V, 8 * C)
+    wide = jnp.where(valid[:, None], wide, 0)
+    canvas = jnp.zeros((batch_size * dz * dy * dx, 8 * C),
+                       voxel_feats.dtype)
+    canvas = canvas.at[flat].add(wide, mode='drop')
+    return canvas.reshape(batch_size, dz, dy, dx, 8 * C)
+
+
 @MODELS.register_module()
 class DenseVoxelEncoder(nn.Module):
     """Drop-in replacement for (BEVFusion)SparseEncoder.
@@ -52,25 +75,31 @@ class DenseVoxelEncoder(nn.Module):
     """
     in_channels: int = 5
     sparse_shape: Tuple[int, int, int] = (41, 1440, 1440)  # (D, H, W)
-    base_channels: int = 16
-    stage_channels: Sequence[int] = (32, 64, 128)
+    base_channels: int = 32
+    stage_channels: Sequence[int] = (64, 128)
     output_channels: int = 128
+    space_to_depth: bool = True
 
     @nn.compact
     def __call__(self, voxel_features, coors, batch_size: int,
                  train: bool = False):
         nz, ny, nx = self.sparse_shape
-        dense = voxel_scatter_dense(
-            voxel_features, coors, batch_size=batch_size, nz=nz, ny=ny,
-            nx=nx)                                   # [B, C, D, H, W]
-        x = jnp.transpose(dense, (0, 2, 3, 4, 1))    # NDHWC
-        # stem: immediate stride-2 downsample keeps the full-res volume at
-        # C_in channels only
-        x = Conv3DBNAct(self.base_channels, (3, 3, 3), (2, 2, 2),
-                        name='stem')(x, train)       # D/2, H/2, W/2
+        if self.space_to_depth:
+            # packed scatter: volume starts at half resolution
+            x = scatter_space_to_depth(voxel_features, coors,
+                                       batch_size=batch_size, nz=nz,
+                                       ny=ny, nx=nx)
+            x = Conv3DBNAct(self.base_channels, (3, 3, 3), (1, 1, 1),
+                            name='stem')(x, train)
+        else:
+            dense = voxel_scatter_dense(
+                voxel_features, coors, batch_size=batch_size, nz=nz,
+                ny=ny, nx=nx)                          # [B, C, D, H, W]
+            x = jnp.transpose(dense, (0, 2, 3, 4, 1))  # NDHWC
+            x = Conv3DBNAct(self.base_channels, (3, 3, 3), (2, 2, 2),
+                            name='stem')(x, train)
         for i, ch in enumerate(self.stage_channels):
-            stride = (2, 2, 2) if i > 0 else (1, 1, 1)
-            x = Conv3DBNAct(ch, (3, 3, 3), stride,
+            x = Conv3DBNAct(ch, (3, 3, 3), (2, 2, 2),
                             name=f'stage{i}_down')(x, train)
             x = Conv3DBNAct(ch, (3, 3, 3), name=f'stage{i}_conv')(x, train)
         # z-reduction conv (ref conv_out kernel (3,1,1) stride (2,1,1))
