@@ -22,7 +22,14 @@ from .iou3d import aligned_iou_bev, rotated_iou_bev
 
 def _greedy_scan(suppress, valid):
     """Greedy NMS over score-descending boxes given a pairwise suppression
-    matrix. suppress[i, j]=True means higher-ranked i (if kept) kills j."""
+    matrix. suppress[i, j]=True means higher-ranked i (if kept) kills j.
+
+    On TPU backends the scan runs as a Pallas kernel with the matrix
+    resident in VMEM (ops/pallas_nms.py) — the XLA fori_loop issues N
+    sequential HBM reads instead."""
+    from .pallas_nms import greedy_scan_pallas, use_pallas
+    if use_pallas():
+        return greedy_scan_pallas(suppress, valid)
     N = suppress.shape[0]
     idx = jnp.arange(N)
 

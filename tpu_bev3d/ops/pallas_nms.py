@@ -1,0 +1,54 @@
+"""Pallas TPU kernel: greedy NMS suppression scan in VMEM.
+
+The XLA version (ops/nms._greedy_scan) runs an N-step ``fori_loop`` where
+every step reads a column of the [N, N] suppression matrix — N sequential
+dispatches over HBM. Here the whole matrix (≤1024² f32 = 4 MB) sits in
+VMEM and the scan runs inside one kernel: no per-step HBM roundtrips.
+
+Gated: used automatically on TPU backends unless TPU_BEV3D_NO_PALLAS=1;
+tests run it in interpreter mode on CPU (same code path).
+"""
+from __future__ import annotations
+
+import functools
+import os
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+
+def _nms_scan_kernel(suppress_ref, valid_ref, keep_ref):
+    n = suppress_ref.shape[0]
+    keep_ref[:] = valid_ref[:]
+    idx = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)
+
+    def body(i, _):
+        col = suppress_ref[:, pl.dslice(i, 1)]                       # [n,1]
+        keep = keep_ref[:].reshape(n, 1)
+        killed = jnp.any((keep > 0) & (col > 0) & (idx < i))
+        cur = keep_ref[pl.dslice(i, 1)]
+        keep_ref[pl.dslice(i, 1)] = jnp.where(killed,
+                                              jnp.zeros_like(cur), cur)
+        return 0
+
+    jax.lax.fori_loop(0, n, body, 0)
+
+
+@functools.partial(jax.jit, static_argnames=('interpret',))
+def greedy_scan_pallas(suppress, valid, interpret: bool = False):
+    """suppress [N, N] bool; valid [N] bool → keep [N] bool. Same contract
+    as ops/nms._greedy_scan (score-descending order assumed)."""
+    n = suppress.shape[0]
+    out = pl.pallas_call(
+        _nms_scan_kernel,
+        out_shape=jax.ShapeDtypeStruct((n,), jnp.int32),
+        interpret=interpret,
+    )(suppress.astype(jnp.int32), valid.astype(jnp.int32))
+    return out > 0
+
+
+def use_pallas() -> bool:
+    if os.environ.get('TPU_BEV3D_NO_PALLAS') == '1':
+        return False
+    return jax.default_backend() == 'tpu'
