@@ -49,6 +49,8 @@ def greedy_scan_pallas(suppress, valid, interpret: bool = False):
 
 
 def use_pallas() -> bool:
-    if os.environ.get('TPU_BEV3D_NO_PALLAS') == '1':
+    # opt-IN while the remote-compile toolchain's kernel support is being
+    # validated (set TPU_BEV3D_PALLAS=1)
+    if os.environ.get('TPU_BEV3D_PALLAS') != '1':
         return False
     return jax.default_backend() == 'tpu'
