@@ -19,17 +19,17 @@ from jax.experimental import pallas as pl
 
 
 def _nms_scan_kernel(suppress_ref, valid_ref, keep_ref):
+    """Row formulation (2D refs only — Mosaic tiling wants the lane dim):
+    for i ascending, if i survives, it kills every worse j it suppresses."""
     n = suppress_ref.shape[0]
-    keep_ref[:] = valid_ref[:]
-    idx = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)
+    keep_ref[:, :] = valid_ref[:, :]
+    idx = jax.lax.broadcasted_iota(jnp.int32, (1, n), 1)
 
     def body(i, _):
-        col = suppress_ref[:, pl.dslice(i, 1)]                       # [n,1]
-        keep = keep_ref[:].reshape(n, 1)
-        killed = jnp.any((keep > 0) & (col > 0) & (idx < i))
-        cur = keep_ref[pl.dslice(i, 1)]
-        keep_ref[pl.dslice(i, 1)] = jnp.where(killed,
-                                              jnp.zeros_like(cur), cur)
+        row = suppress_ref[pl.dslice(i, 1), :]            # [1, n]
+        alive = keep_ref[pl.dslice(0, 1), pl.dslice(i, 1)]  # [1, 1]
+        kill = (row > 0) & (idx > i) & (alive > 0)
+        keep_ref[:, :] = jnp.where(kill, 0, keep_ref[:, :])
         return 0
 
     jax.lax.fori_loop(0, n, body, 0)
@@ -38,14 +38,20 @@ def _nms_scan_kernel(suppress_ref, valid_ref, keep_ref):
 @functools.partial(jax.jit, static_argnames=('interpret',))
 def greedy_scan_pallas(suppress, valid, interpret: bool = False):
     """suppress [N, N] bool; valid [N] bool → keep [N] bool. Same contract
-    as ops/nms._greedy_scan (score-descending order assumed)."""
+    as ops/nms._greedy_scan (score-descending order assumed). N is padded
+    to a lane multiple internally."""
     n = suppress.shape[0]
+    np_ = -(-n // 128) * 128
+    sup = jnp.zeros((np_, np_), jnp.int32).at[:n, :n].set(
+        suppress.astype(jnp.int32))
+    val = jnp.zeros((1, np_), jnp.int32).at[0, :n].set(
+        valid.astype(jnp.int32))
     out = pl.pallas_call(
         _nms_scan_kernel,
-        out_shape=jax.ShapeDtypeStruct((n,), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((1, np_), jnp.int32),
         interpret=interpret,
-    )(suppress.astype(jnp.int32), valid.astype(jnp.int32))
-    return out > 0
+    )(sup, val)
+    return out[0, :n] > 0
 
 
 def use_pallas() -> bool:
