@@ -1,0 +1,40 @@
+"""Overfit sanity: 60 train steps on one fixed batch must cut the loss
+substantially — validates gradient flow through voxelize→scatter→convs→
+assignment→losses end to end (beyond single-step finiteness)."""
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from tpu_bev3d.config import Config
+from tpu_bev3d.engine import (build_optimizer, create_train_state,
+                              make_train_step)
+from tpu_bev3d.testing import create_detector_inputs, build_detector_from_cfg
+
+
+def test_pointpillars_overfits_single_batch():
+    cfg = Config.fromfile('configs/pointpillars/pointpillars_kitti_3class.py')
+    m = cfg.model
+    m.voxel_size = [0.64, 0.64, 4]
+    m.max_voxels = 256
+    m.max_num_points = 8
+    m.voxel_encoder.voxel_size = [0.64, 0.64, 4]
+    m.middle_encoder.output_shape = [128, 112]
+    m.bbox_head.nms_pre = 64
+    m.bbox_head.max_num = 8
+    model = build_detector_from_cfg(m)
+    batch = create_detector_inputs(batch_size=2, num_points=256, num_gt=4)
+    batch = {k: jnp.asarray(v) for k, v in batch.items()}
+    tx, _ = build_optimizer(dict(type='adamw', lr=3e-3), total_steps=100,
+                            clip_grad_norm=35.0)
+    state = create_train_state(model, batch, tx)
+    step = make_train_step(model, tx, donate=False)
+    losses = []
+    for _ in range(60):
+        state, metrics = step(state, batch)
+        losses.append(float(metrics['loss']))
+    assert np.isfinite(losses).all()
+    # loss must drop by at least 5x on a memorizable batch
+    assert losses[-1] < losses[0] / 5, (losses[0], losses[-1])
+    # and monotonically-ish: final < any early loss
+    assert losses[-1] < min(losses[:5])
