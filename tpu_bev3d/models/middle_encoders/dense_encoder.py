@@ -29,12 +29,10 @@ from ...registry import MODELS
 
 
 class Conv3DBNAct(nn.Module):
-    """3D conv + BN + ReLU, lowered to kz z-shifted 2D convs.
+    """3D conv + BN + ReLU (NDHWC).
 
-    TPU's 2D convolution path is far better tuned than Conv3D: the z taps
-    are decomposed as out[d'] = Σ_dz conv2d(x[d'·sz + dz], W[dz]) with D
-    folded into the batch dim — identical math, near-peak MXU mapping,
-    no kz× im2col memory blowup.
+    Measured on v5e: native XLA Conv3D beats a z-decomposed sum of 2D convs
+    (149 vs 221 ms for the BEVFusion encoder), so the direct form stays.
     """
     out_channels: int
     kernel_size: Tuple[int, int, int] = (3, 3, 3)
@@ -44,32 +42,9 @@ class Conv3DBNAct(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        B, D, H, W, C = x.shape
-        kz, ky, kx = self.kernel_size
-        sz, sy, sx = self.stride
-        if self.padding == 'SAME':
-            pz = (kz - 1) // 2
-            d_out = -(-D // sz)
-        else:
-            pz = 0
-            d_out = (D - kz) // sz + 1
-        xp = jnp.pad(x, ((0, 0), (pz, kz - 1 - pz + (sz * d_out - D)),
-                         (0, 0), (0, 0), (0, 0))) if pz or \
-            (sz * d_out + kz - 1 > D) else x
-        Dp = xp.shape[1]
-        y = None
-        for dz in range(kz):
-            end = dz + sz * (d_out - 1) + 1
-            xs = xp[:, dz:end:sz]                      # [B, d_out, H, W, C]
-            h = xs.reshape(B * d_out, H, W, C)
-            h = nn.Conv(self.out_channels, (ky, kx), strides=(sy, sx),
-                        padding='SAME' if self.padding == 'SAME'
-                        else 'VALID',
-                        use_bias=False, dtype=x.dtype,
-                        name=f'conv_z{dz}')(h)
-            y = h if y is None else y + h
-        Ho, Wo = y.shape[1:3]
-        x = y.reshape(B, d_out, Ho, Wo, self.out_channels)
+        x = nn.Conv(self.out_channels, self.kernel_size,
+                    strides=self.stride, padding=self.padding,
+                    use_bias=False, dtype=x.dtype)(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.99,
                          epsilon=1e-3, dtype=x.dtype)(x)
         if self.act:
