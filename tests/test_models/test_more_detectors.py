@@ -123,3 +123,25 @@ def test_pointpillars_nus_velocity_boxes():
         assert np.isfinite(float(v)), k
     preds = model.apply(variables, batch, mode='predict')
     assert preds['bboxes'].shape == (1, 16, 9)
+
+
+def test_sassd_aux_losses():
+    cfg = Config.fromfile('configs/pointpillars/pointpillars_kitti_3class.py')
+    m = cfg.model
+    m.type = 'SASSD'
+    m.voxel_size = [0.64, 0.64, 4]
+    m.max_voxels = 256
+    m.max_num_points = 8
+    m.voxel_encoder.voxel_size = [0.64, 0.64, 4]
+    m.middle_encoder.output_shape = [128, 112]
+    m.bbox_head.nms_pre = 64
+    m.bbox_head.max_num = 8
+    model = build_detector_from_cfg(m)
+    batch = create_detector_inputs(batch_size=1, num_points=256, num_gt=4)
+    batch = {k: jnp.asarray(v) for k, v in batch.items()}
+    variables = model.init(jax.random.PRNGKey(0), batch, mode='tensor')
+    losses, _ = model.apply(variables, batch, mode='loss', train=True,
+                            mutable=['batch_stats'])
+    assert 'aux_loss_fg' in losses and 'aux_loss_center' in losses
+    for k, v in losses.items():
+        assert np.isfinite(float(v)), k

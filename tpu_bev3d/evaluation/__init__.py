@@ -1,5 +1,5 @@
 from .metrics.nuscenes_metric import NuScenesMetric
-from .metrics.kitti_metric import KittiMetric
+from .metrics.kitti_metric import KittiMetric, WaymoMetric
 from .metrics.seg_metric import SegMetric
 
-__all__ = ['NuScenesMetric', 'KittiMetric', 'SegMetric']
+__all__ = ['NuScenesMetric', 'KittiMetric', 'WaymoMetric', 'SegMetric']

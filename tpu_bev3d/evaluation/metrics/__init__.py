@@ -1,5 +1,5 @@
 from .nuscenes_metric import NuScenesMetric
-from .kitti_metric import KittiMetric
+from .kitti_metric import KittiMetric, WaymoMetric
 from .seg_metric import SegMetric
 
-__all__ = ['NuScenesMetric', 'KittiMetric', 'SegMetric']
+__all__ = ['NuScenesMetric', 'KittiMetric', 'WaymoMetric', 'SegMetric']

@@ -20,3 +20,14 @@ class KittiMetric(BaseMetric):
         preds = [r[0] for r in self.results]
         gts = [r[1] for r in self.results]
         return kitti_eval(preds, gts, self.classes)
+
+
+@METRICS.register_module()
+class WaymoMetric(KittiMetric):
+    """Waymo eval via the KITTI-style AP backend over Waymo classes
+    (ref: mmdet3d/evaluation/metrics/waymo_metric.py converts to
+    KITTI-format and reuses the same rotated-IoU AP machinery)."""
+
+    def __init__(self, classes: Sequence[str] = (), **kwargs):
+        super().__init__(classes=list(classes)
+                         or ['Car', 'Pedestrian', 'Cyclist'], **kwargs)

@@ -6,6 +6,7 @@ from .votenet import VoteNet
 from .fcos_mono3d import FCOSMono3D
 from .stream_petr import StreamPETR, StreamPETRHead
 from .two_stage import TwoStage3DDetector
+from .sassd import SASSD
 
 __all__ = ['VoxelNet', 'DynamicVoxelNet', 'CenterPoint', 'BEVFusion',
-           'ConvFuser', 'PETR', 'VoteNet', 'FCOSMono3D', 'StreamPETR', 'StreamPETRHead', 'TwoStage3DDetector']
+           'ConvFuser', 'PETR', 'VoteNet', 'FCOSMono3D', 'StreamPETR', 'StreamPETRHead', 'TwoStage3DDetector', 'SASSD']

@@ -27,7 +27,9 @@ def _nms_scan_kernel(suppress_ref, valid_ref, keep_ref):
 
     def body(i, _):
         row = suppress_ref[pl.dslice(i, 1), :]            # [1, n]
-        alive = keep_ref[pl.dslice(0, 1), pl.dslice(i, 1)]  # [1, 1]
+        # scalar "is i still alive" via masked reduction — Mosaic rejects
+        # dynamic slicing on the lane (minor) dimension
+        alive = jnp.max(jnp.where(idx == i, keep_ref[:, :], 0))
         kill = (row > 0) & (idx > i) & (alive > 0)
         keep_ref[:, :] = jnp.where(kill, 0, keep_ref[:, :])
         return 0
@@ -55,8 +57,8 @@ def greedy_scan_pallas(suppress, valid, interpret: bool = False):
 
 
 def use_pallas() -> bool:
-    # opt-IN while the remote-compile toolchain's kernel support is being
-    # validated (set TPU_BEV3D_PALLAS=1)
-    if os.environ.get('TPU_BEV3D_PALLAS') != '1':
+    # validated on v5e (matches the XLA scan bit-exactly); opt out with
+    # TPU_BEV3D_NO_PALLAS=1
+    if os.environ.get('TPU_BEV3D_NO_PALLAS') == '1':
         return False
     return jax.default_backend() == 'tpu'
