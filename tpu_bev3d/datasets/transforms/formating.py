@@ -34,6 +34,11 @@ class Pack3DDetInputs:
         mask[:n] = True
 
         out = dict(points=points, points_mask=mask)
+        if 'pts_semantic_mask' in results:
+            seg = np.full((P,), 255, np.int32)
+            seg[:n] = np.asarray(results['pts_semantic_mask'],
+                                 np.int32)[:n]
+            out['pts_semantic_mask'] = seg
         gtb = results.get('gt_bboxes_3d')
         if gtb is not None:
             gtb = np.asarray(gtb, np.float32).reshape(-1, gtb.shape[-1]) \

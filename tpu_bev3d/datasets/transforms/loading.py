@@ -131,12 +131,16 @@ class LoadPointsFromMultiSweeps:
 
 @TRANSFORMS.register_module()
 class LoadAnnotations3D:
-    """Move parsed ann_info into the working keys (ref loading.py:749-900)."""
+    """Move parsed ann_info into the working keys; optionally load the
+    per-point semantic mask (ref loading.py:749-900 with_seg_3d path —
+    SemanticKITTI .label files carry the class in the low 16 bits)."""
 
     def __init__(self, with_bbox_3d: bool = True, with_label_3d: bool = True,
+                 with_seg_3d: bool = False, seg_3d_dtype: str = 'np.int32',
                  **kw):
         self.with_bbox_3d = with_bbox_3d
         self.with_label_3d = with_label_3d
+        self.with_seg_3d = with_seg_3d
 
     def __call__(self, results: dict) -> Optional[dict]:
         ann = results.get('ann_info') or {}
@@ -146,4 +150,15 @@ class LoadAnnotations3D:
         if self.with_label_3d:
             results['gt_labels_3d'] = ann.get(
                 'gt_labels_3d', np.zeros((0,), np.int64))
+        if self.with_seg_3d:
+            p = results.get('pts_semantic_mask_path')
+            if p and os.path.exists(p):
+                if p.endswith('.label'):
+                    lab = np.fromfile(p, np.uint32) & 0xFFFF
+                else:
+                    lab = np.fromfile(p, np.int32)
+                results['pts_semantic_mask'] = lab.astype(np.int32)
+            elif 'pts_semantic_mask' not in results:
+                results['pts_semantic_mask'] = np.zeros(
+                    (len(results.get('points', [])),), np.int32)
         return results

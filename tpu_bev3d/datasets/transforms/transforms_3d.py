@@ -116,6 +116,8 @@ class PointsRangeFilter:
              & (pts[:, 1] > self.pcr[1]) & (pts[:, 1] < self.pcr[4])
              & (pts[:, 2] > self.pcr[2]) & (pts[:, 2] < self.pcr[5]))
         results['points'] = pts[m]
+        if 'pts_semantic_mask' in results:
+            results['pts_semantic_mask'] = results['pts_semantic_mask'][m]
         return results
 
 
@@ -165,7 +167,10 @@ class PointShuffle:
 
     def __call__(self, results: dict) -> dict:
         pts = results['points']
-        results['points'] = pts[_rng(results).permutation(len(pts))]
+        perm = _rng(results).permutation(len(pts))
+        results['points'] = pts[perm]
+        if 'pts_semantic_mask' in results:
+            results['pts_semantic_mask'] = results['pts_semantic_mask'][perm]
         return results
 
 
@@ -185,6 +190,8 @@ class PointSample:
         else:
             idx = rng.choice(n, self.num_points, replace=True)
         results['points'] = pts[idx]
+        if 'pts_semantic_mask' in results:
+            results['pts_semantic_mask'] = results['pts_semantic_mask'][idx]
         return results
 
 
