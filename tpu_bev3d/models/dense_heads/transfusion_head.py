@@ -123,11 +123,10 @@ class BEVFusionHead(nn.Module):
 
     def setup(self):
         self.shared_conv = ConvBNAct(self.hidden_channel, 3, padding=1)
-        self.heatmap_head = nn.Sequential([
-            ConvBNAct(self.hidden_channel, 3, padding=1),
-            nn.Conv(self.num_classes, (3, 3), padding=1,
-                    bias_init=nn.initializers.constant(-2.19)),
-        ])
+        self.heatmap_conv = ConvBNAct(self.hidden_channel, 3, padding=1)
+        self.heatmap_out = nn.Conv(
+            self.num_classes, (3, 3), padding=1,
+            bias_init=nn.initializers.constant(-2.19))
         self.class_encoding = nn.Dense(self.hidden_channel)
         self.decoder = DecoderLayer(self.hidden_channel, self.num_heads,
                                     self.ffn_channel)
@@ -145,7 +144,7 @@ class BEVFusionHead(nn.Module):
         heatmap (ref forward_single:198-316)."""
         B, H, W, _ = bev_feats.shape
         feat = self.shared_conv(bev_feats, train)          # [B,H,W,hid]
-        heatmap = self.heatmap_head(feat)                  # [B,H,W,K]
+        heatmap = self.heatmap_out(self.heatmap_conv(feat, train))
         hm = jax.nn.sigmoid(heatmap)
         # peak NMS: 3×3 max-pool; classes 8/9 (pedestrian/traffic_cone on
         # nuScenes) use kernel 1 (ref :222-239)
