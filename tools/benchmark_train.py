@@ -36,27 +36,34 @@ def main():
     ve = cfg.model.get('voxel_encoder', {}) or {}
     pdim = int(ve.get('in_channels', ve.get('num_features', 4)))
 
-    def mk(seed):
-        b = create_detector_inputs(
+    # host-side batches; device_put FRESH buffers every step and block per
+    # step — reused device buffers have produced memoized (impossible)
+    # timings through the remote-device tunnel
+    def mk_host(seed):
+        return create_detector_inputs(
             rng=np.random.default_rng(seed), batch_size=bsz,
             num_points=args.num_points, point_dim=pdim,
             pc_range=tuple(cfg.model.point_cloud_range))
-        return {k: jnp.asarray(v) for k, v in b.items()}
 
-    batches = [mk(i) for i in range(4)]
+    host_batches = [mk_host(i) for i in range(4)]
+
+    def put(i):
+        return {k: jax.device_put(v) for k, v in
+                host_batches[i % 4].items()}
+
     tcfg = cfg.get('train_cfg', {})
     tx, _ = build_optimizer(tcfg.get('optimizer', {}), 1000,
                             tcfg.get('scheduler'),
                             tcfg.get('clip_grad_norm'))
-    state = create_train_state(model, batches[0], tx)
+    state = create_train_state(model, put(0), tx)
     step = make_train_step(model, tx, donate=False)
-    for b in batches:
-        state, m = step(state, b)
-    jax.block_until_ready(m['loss'])
+    for i in range(3):
+        state, m = step(state, put(i))
+        jax.block_until_ready(m['loss'])
     t0 = time.perf_counter()
     for i in range(args.iters):
-        state, m = step(state, batches[i % 4])
-    jax.block_until_ready(m['loss'])
+        state, m = step(state, put(i))
+        jax.block_until_ready(m['loss'])
     dt = time.perf_counter() - t0
     sps = args.iters * bsz / dt
     print(f'{sps:.2f} train samples/s/chip '
