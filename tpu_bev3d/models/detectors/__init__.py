@@ -7,6 +7,7 @@ from .fcos_mono3d import FCOSMono3D
 from .stream_petr import StreamPETR, StreamPETRHead
 from .two_stage import TwoStage3DDetector
 from .sassd import SASSD
+from .imvoxelnet import ImVoxelNet
 
 __all__ = ['VoxelNet', 'DynamicVoxelNet', 'CenterPoint', 'BEVFusion',
-           'ConvFuser', 'PETR', 'VoteNet', 'FCOSMono3D', 'StreamPETR', 'StreamPETRHead', 'TwoStage3DDetector', 'SASSD']
+           'ConvFuser', 'PETR', 'VoteNet', 'FCOSMono3D', 'StreamPETR', 'StreamPETRHead', 'TwoStage3DDetector', 'SASSD', 'ImVoxelNet']
