@@ -1,5 +1,6 @@
 from .second import SECOND
 from .swin import SwinTransformer
 from .pointnet2_sa_ssg import PointNet2SASSG
+from .vovnet import VoVNetCP
 
-__all__ = ['SECOND', 'SwinTransformer', 'PointNet2SASSG']
+__all__ = ['SECOND', 'SwinTransformer', 'PointNet2SASSG', 'VoVNetCP']

@@ -80,6 +80,41 @@ class PointSAModule(nn.Module):
         return new_xyz, out, new_mask, idx
 
 
+class PointSAModuleMSG(nn.Module):
+    """Multi-scale-grouping SA (ref point_sa_module.py PointSAModuleMSG):
+    one FPS center set, several (radius, nsample, mlp) branches whose
+    max-pooled features concatenate."""
+    num_point: int
+    radii: Sequence[float]
+    num_samples: Sequence[int]
+    mlp_channels: Sequence[Sequence[int]]
+    use_xyz: bool = True
+
+    @nn.compact
+    def __call__(self, xyz, feats, mask, train: bool = False):
+        idx = furthest_point_sample(xyz, mask, self.num_point)
+        new_xyz = xyz[idx]
+        new_mask = mask[idx]
+        outs = []
+        for bi, (r, k, mlp) in enumerate(zip(self.radii, self.num_samples,
+                                             self.mlp_channels)):
+            nidx, nvalid = ball_query(new_xyz, xyz, mask, r, k)
+            grouped_xyz = grouping_operation(xyz, nidx) - new_xyz[:, None]
+            if feats is not None:
+                g = grouping_operation(feats, nidx)
+                if self.use_xyz:
+                    g = jnp.concatenate([grouped_xyz, g], -1)
+            else:
+                g = grouped_xyz
+            g = SharedMLP(tuple(mlp), name=f'mlp{bi}')(g, nvalid, train)
+            g = jnp.where(nvalid[..., None], g, -jnp.inf)
+            o = jnp.max(g, axis=1)
+            o = jnp.where(jnp.isfinite(o), o, 0.0)
+            outs.append(o)
+        out = jnp.concatenate(outs, -1) * new_mask[:, None]
+        return new_xyz, out, new_mask, idx
+
+
 class PointFPModule(nn.Module):
     """Feature propagation (ref point_fp_module.py)."""
     mlp_channels: Sequence[int]
