@@ -35,11 +35,15 @@ class FCOSMono3DHead(nn.Module):
     strides: Sequence[int] = (8, 16, 32)
     # bbox_code: offset(2) + depth(1) + size(3) + rot sin/cos(2)
     depth_log: bool = True
+    # PGD-style learned depth uncertainty (ref pgd_head.py — an extra
+    # log-sigma channel weights the depth loss via UncertainSmoothL1)
+    depth_uncertainty: bool = False
     score_thr: float = 0.05
     max_num: int = 100
     loss_cls_weight: float = 1.0
     loss_bbox_weight: float = 1.0
     loss_centerness_weight: float = 1.0
+    loss_depth_weight: float = 1.0
 
     @nn.compact
     def __call__(self, feats, train: bool = False):
@@ -61,7 +65,11 @@ class FCOSMono3DHead(nn.Module):
                           name=f'ctr_out{li}')(h_reg)
             reg = nn.Conv(8, (3, 3), padding=1,
                           name=f'reg_out{li}')(h_reg)
-            outs.append(dict(cls=cls, centerness=ctr, reg=reg))
+            out = dict(cls=cls, centerness=ctr, reg=reg)
+            if self.depth_uncertainty:
+                out['depth_sigma'] = nn.Conv(
+                    1, (3, 3), padding=1, name=f'sigma_out{li}')(h_reg)
+            outs.append(out)
         return outs
 
     # --------------------------------------------------------------- decode
@@ -126,11 +134,13 @@ class FCOSMono3DHead(nn.Module):
             0, n_lvl - 1).astype(jnp.int32)
 
         total_cls = total_reg = total_ctr = 0.0
+        total_depth = 0.0
         for li, (out, stride) in enumerate(zip(outs, self.strides)):
             cls, ctr, reg = out['cls'], out['centerness'], out['reg']
+            sigma = out.get('depth_sigma')
             B, H, W, K = cls.shape
 
-            def one(cls_s, ctr_s, reg_s, gu, gv, gtb, gtl, gtm, glvl,
+            def one(cls_s, ctr_s, reg_s, sg_s, gu, gv, gtb, gtl, gtm, glvl,
                     fx_, fy_, cx_, cy_):
                 ok = gtm & (glvl == li) & (gtb[:, 2] > 0.5)
                 iu = jnp.clip(jnp.floor(gu / stride), 0,
@@ -168,16 +178,27 @@ class FCOSMono3DHead(nn.Module):
                         jnp.ones((G,)), mode='drop')
                 l_ctr = jnp.mean(binary_cross_entropy_with_logits(
                     cflat, tgt_ctr))
-                return l_cls / npos, l_reg, l_ctr
+                # PGD depth-uncertainty term (ref pgd_head uncertain depth)
+                sgl = sg_s.reshape(H * W)[jnp.clip(pix, 0, H * W - 1)]
+                d_err = smooth_l1_loss(
+                    rg[:, 2], jnp.log(jnp.maximum(gtb[:, 2], 1e-3)))
+                l_depth = jnp.sum(
+                    (jnp.exp(-sgl) * d_err + 0.5 * sgl)
+                    * ok.astype(d_err.dtype)) / npos
+                return l_cls / npos, l_reg, l_ctr, l_depth
 
-            l_cls, l_reg, l_ctr = jax.vmap(one)(
-                cls, ctr, reg, u, v, gt_bboxes, gt_labels, gt_mask, lvl,
-                fx, fy, cx, cy)
+            sg = sigma if sigma is not None else jnp.zeros_like(ctr)
+            l_cls, l_reg, l_ctr, l_depth = jax.vmap(one)(
+                cls, ctr, reg, sg, u, v, gt_bboxes, gt_labels, gt_mask,
+                lvl, fx, fy, cx, cy)
             total_cls += jnp.mean(l_cls)
             total_reg += jnp.mean(l_reg)
             total_ctr += jnp.mean(l_ctr)
+            total_depth += jnp.mean(l_depth)
         losses['loss_cls'] = self.loss_cls_weight * total_cls
         losses['loss_bbox'] = self.loss_bbox_weight * total_reg
         losses['loss_centerness'] = \
             self.loss_centerness_weight * total_ctr
+        if self.depth_uncertainty:
+            losses['loss_depth'] = self.loss_depth_weight * total_depth
         return losses
