@@ -2,5 +2,6 @@ from .second import SECOND
 from .swin import SwinTransformer
 from .pointnet2_sa_ssg import PointNet2SASSG
 from .vovnet import VoVNetCP
+from .pointnet2_sa_msg import PointNet2SAMSG
 
-__all__ = ['SECOND', 'SwinTransformer', 'PointNet2SASSG', 'VoVNetCP']
+__all__ = ['SECOND', 'SwinTransformer', 'PointNet2SASSG', 'VoVNetCP', 'PointNet2SAMSG']
