@@ -96,16 +96,21 @@ class BaseLSS(nn.Module):
 
         depth_logits [B,N,fH,fW,D]; feats [B,N,fH,fW,C];
         geom [B,N,D,fH,fW,3] → [B, ny, nx, C*nz] NHWC.
+
+        The softmax stays in f32 (the reference's fp32 island); the D×C
+        outer product — the HBM hog at [B,N,D,fH,fW,C] — is kept in the
+        feature dtype (bf16 halves it) with f32 scatter accumulation.
         """
         depth = jax.nn.softmax(depth_logits.astype(jnp.float32), axis=-1)
         frustum_feats = jnp.einsum('bnhwd,bnhwc->bndhwc',
-                                   depth, feats.astype(jnp.float32))
+                                   depth.astype(feats.dtype), feats)
         nx, ny, nz = self.bev_shape
         out = bev_pool(
             frustum_feats, geom,
             bev_start=(self.xbound[0], self.ybound[0], self.zbound[0]),
             bev_interval=(self.xbound[2], self.ybound[2], self.zbound[2]),
-            bev_shape=(nx, ny, nz))                       # [B, nz*C, ny, nx]
+            bev_shape=(nx, ny, nz),
+            accum_dtype=jnp.float32)                      # [B, nz*C, ny, nx]
         return jnp.transpose(out, (0, 2, 3, 1))           # NHWC
 
 

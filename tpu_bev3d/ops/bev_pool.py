@@ -44,14 +44,17 @@ def bev_pool_ranks(geom, bev_start, bev_interval, bev_shape):
     return c, valid
 
 
-@partial(jax.jit, static_argnames=('bev_start', 'bev_interval', 'bev_shape'))
+@partial(jax.jit, static_argnames=('bev_start', 'bev_interval', 'bev_shape',
+                                   'accum_dtype'))
 def bev_pool(feats, geom, *, bev_start: Tuple[float, float, float],
              bev_interval: Tuple[float, float, float],
-             bev_shape: Tuple[int, int, int]):
+             bev_shape: Tuple[int, int, int], accum_dtype=None):
     """Pool frustum features into a BEV grid.
 
     Args:
-      feats: [B, ..., C] frustum features (e.g. [B, N, D, H, W, C]).
+      feats: [B, ..., C] frustum features (e.g. [B, N, D, H, W, C]) — may be
+        bf16; ``accum_dtype`` (default: feats dtype) sets the scatter
+        accumulator so low-precision products still sum in f32.
       geom:  [B, ..., 3] matching coords in the ego frame.
       bev_shape: (nx, ny, nz).
     Returns: [B, nz*C, ny, nx] — z collapsed into channels like the reference
@@ -60,6 +63,7 @@ def bev_pool(feats, geom, *, bev_start: Tuple[float, float, float],
     B = feats.shape[0]
     C = feats.shape[-1]
     nx, ny, nz = bev_shape
+    acc = accum_dtype or feats.dtype
     coords, valid = bev_pool_ranks(geom, bev_start, bev_interval, bev_shape)
     f = feats.reshape(B, -1, C)
     cc = coords.reshape(B, -1, 3)
@@ -69,8 +73,8 @@ def bev_pool(feats, geom, *, bev_start: Tuple[float, float, float],
     rank = jnp.where(vv, rank, nz * ny * nx)  # OOB → dropped
 
     def pool_one(fi, ri):
-        out = jnp.zeros((nz * ny * nx, C), feats.dtype)
-        return out.at[ri].add(fi, mode='drop')
+        out = jnp.zeros((nz * ny * nx, C), acc)
+        return out.at[ri].add(fi.astype(acc), mode='drop')
 
     out = jax.vmap(pool_one)(f, rank)            # [B, nz*ny*nx, C]
     out = out.reshape(B, nz, ny, nx, C)
