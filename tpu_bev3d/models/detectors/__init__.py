@@ -8,6 +8,7 @@ from .stream_petr import StreamPETR, StreamPETRHead
 from .two_stage import TwoStage3DDetector
 from .sassd import SASSD
 from .imvoxelnet import ImVoxelNet
+from .mvxnet import MVXNet, PointFusion
 
 __all__ = ['VoxelNet', 'DynamicVoxelNet', 'CenterPoint', 'BEVFusion',
-           'ConvFuser', 'PETR', 'VoteNet', 'FCOSMono3D', 'StreamPETR', 'StreamPETRHead', 'TwoStage3DDetector', 'SASSD', 'ImVoxelNet']
+           'ConvFuser', 'PETR', 'VoteNet', 'FCOSMono3D', 'StreamPETR', 'StreamPETRHead', 'TwoStage3DDetector', 'SASSD', 'ImVoxelNet', 'MVXNet', 'PointFusion']

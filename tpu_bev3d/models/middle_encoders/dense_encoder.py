@@ -84,6 +84,9 @@ class DenseVoxelEncoder(nn.Module):
     stage_channels: Sequence[int] = (64, 128)
     output_channels: int = 128
     space_to_depth: bool = True
+    # (1,3,3) halves the dominant full-res stem cost; z mixing happens in
+    # the 3³ stage downsamples (and the s2d packing already mixed z pairs)
+    stem_kernel: Tuple[int, int, int] = (1, 3, 3)
 
     @nn.compact
     def __call__(self, voxel_features, coors, batch_size: int,
@@ -94,8 +97,8 @@ class DenseVoxelEncoder(nn.Module):
             x = scatter_space_to_depth(voxel_features, coors,
                                        batch_size=batch_size, nz=nz,
                                        ny=ny, nx=nx)
-            x = Conv3DBNAct(self.base_channels, (3, 3, 3), (1, 1, 1),
-                            name='stem')(x, train)
+            x = Conv3DBNAct(self.base_channels, tuple(self.stem_kernel),
+                            (1, 1, 1), name='stem')(x, train)
         else:
             dense = voxel_scatter_dense(
                 voxel_features, coors, batch_size=batch_size, nz=nz,
