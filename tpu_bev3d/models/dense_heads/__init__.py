@@ -4,6 +4,7 @@ from .transfusion_head import BEVFusionHead
 from .petr_head import PETRHead
 from .vote_head import VoteHead
 from .fcos_mono3d_head import FCOSMono3DHead
+from .fcaf3d_head import FCAF3DHead, MinkSingleStage3DDetector
 
 __all__ = ['Anchor3DHead', 'CenterHead', 'SeparateHead', 'BEVFusionHead',
-           'PETRHead', 'VoteHead', 'FCOSMono3DHead']
+           'PETRHead', 'VoteHead', 'FCOSMono3DHead', 'FCAF3DHead', 'MinkSingleStage3DDetector']
