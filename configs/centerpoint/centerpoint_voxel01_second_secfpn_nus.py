@@ -69,3 +69,39 @@ train_cfg = dict(
     clip_grad_norm=35.0,
     batch_size=4,
 )
+
+# ---- data (ref cyclic-20e nuScenes recipe; expects
+# tools/nuscenes_converter.py output) ----
+data_root = 'data/nuscenes/'
+train_pipeline = [
+    dict(type='LoadPointsFromFile', load_dim=5, use_dim=5),
+    dict(type='LoadPointsFromMultiSweeps', sweeps_num=9, load_dim=5,
+         use_dim=[0, 1, 2, 3], pad_empty_sweeps=True, remove_close=True),
+    dict(type='LoadAnnotations3D'),
+    dict(type='GlobalRotScaleTrans', rot_range=[-0.78539816, 0.78539816],
+         scale_ratio_range=[0.95, 1.05], translation_std=[0.5, 0.5, 0.5]),
+    dict(type='RandomFlip3D', flip_ratio_bev_horizontal=0.5,
+         flip_ratio_bev_vertical=0.5),
+    dict(type='PointsRangeFilter', point_cloud_range=point_cloud_range),
+    dict(type='ObjectRangeFilter', point_cloud_range=point_cloud_range),
+    dict(type='PointShuffle'),
+    dict(type='Pack3DDetInputs', num_points=120000, max_gt=128, box_dim=9),
+]
+test_pipeline = [
+    dict(type='LoadPointsFromFile', load_dim=5, use_dim=5),
+    dict(type='LoadPointsFromMultiSweeps', sweeps_num=9, load_dim=5,
+         use_dim=[0, 1, 2, 3], pad_empty_sweeps=True, remove_close=True,
+         test_mode=True),
+    dict(type='LoadAnnotations3D'),
+    dict(type='PointsRangeFilter', point_cloud_range=point_cloud_range),
+    dict(type='Pack3DDetInputs', num_points=120000, max_gt=128, box_dim=9),
+]
+train_dataloader = dict(dataset=dict(
+    type='CBGSDataset',
+    dataset=dict(type='NuScenesDataset', data_root=data_root,
+                 ann_file='nuscenes_infos.pkl', pipeline=train_pipeline)))
+test_dataloader = dict(dataset=dict(
+    type='NuScenesDataset', data_root=data_root,
+    ann_file='nuscenes_infos.pkl', pipeline=test_pipeline,
+    test_mode=False))
+test_evaluator = dict(type='NuScenesMetric', classes=class_names)

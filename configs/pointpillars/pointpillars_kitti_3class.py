@@ -66,3 +66,40 @@ train_cfg = dict(
     clip_grad_norm=35.0,
     batch_size=6,
 )
+
+# ---- data (ref config train/test pipelines; expects tools/create_data.py
+# outputs under data_root) ----
+data_root = 'data/kitti/'
+train_pipeline = [
+    dict(type='LoadPointsFromFile', load_dim=4, use_dim=4),
+    dict(type='LoadAnnotations3D'),
+    dict(type='ObjectSample', db_sampler=dict(
+        info_path='dbinfos_train.pkl', data_root=data_root, rate=1.0,
+        prepare=dict(filter_by_min_points=dict(Car=5, Pedestrian=5,
+                                               Cyclist=5)),
+        sample_groups=dict(Car=15, Pedestrian=15, Cyclist=15),
+        classes=class_names)),
+    dict(type='GlobalRotScaleTrans', rot_range=[-0.78539816, 0.78539816],
+         scale_ratio_range=[0.95, 1.05]),
+    dict(type='RandomFlip3D', flip_ratio_bev_horizontal=0.5),
+    dict(type='PointsRangeFilter', point_cloud_range=point_cloud_range),
+    dict(type='ObjectRangeFilter', point_cloud_range=point_cloud_range),
+    dict(type='PointShuffle'),
+    dict(type='Pack3DDetInputs', num_points=40000, max_gt=64),
+]
+test_pipeline = [
+    dict(type='LoadPointsFromFile', load_dim=4, use_dim=4),
+    dict(type='LoadAnnotations3D'),
+    dict(type='PointsRangeFilter', point_cloud_range=point_cloud_range),
+    dict(type='Pack3DDetInputs', num_points=40000, max_gt=64),
+]
+train_dataloader = dict(dataset=dict(
+    type='KittiDataset', data_root=data_root,
+    ann_file='kitti_infos_training.pkl', pipeline=train_pipeline))
+test_dataloader = dict(dataset=dict(
+    type='KittiDataset', data_root=data_root,
+    ann_file='kitti_infos_training.pkl', pipeline=test_pipeline,
+    test_mode=False))
+test_evaluator = dict(type='KittiMetric', classes=class_names)
+custom_hooks = [dict(type='DisableObjectSampleHook',
+                     disable_after_epoch=15)]
