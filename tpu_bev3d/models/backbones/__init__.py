@@ -3,5 +3,6 @@ from .swin import SwinTransformer
 from .pointnet2_sa_ssg import PointNet2SASSG
 from .vovnet import VoVNetCP
 from .pointnet2_sa_msg import PointNet2SAMSG
+from .dgcnn import DGCNNBackbone
 
-__all__ = ['SECOND', 'SwinTransformer', 'PointNet2SASSG', 'VoVNetCP', 'PointNet2SAMSG']
+__all__ = ['SECOND', 'SwinTransformer', 'PointNet2SASSG', 'VoVNetCP', 'PointNet2SAMSG', 'DGCNNBackbone']
