@@ -5,6 +5,7 @@ from .petr_head import PETRHead
 from .vote_head import VoteHead
 from .fcos_mono3d_head import FCOSMono3DHead
 from .fcaf3d_head import FCAF3DHead, MinkSingleStage3DDetector
+from .smoke_head import SMOKEMono3DHead, SMOKEMono3D
 
 __all__ = ['Anchor3DHead', 'CenterHead', 'SeparateHead', 'BEVFusionHead',
-           'PETRHead', 'VoteHead', 'FCOSMono3DHead', 'FCAF3DHead', 'MinkSingleStage3DDetector']
+           'PETRHead', 'VoteHead', 'FCOSMono3DHead', 'FCAF3DHead', 'MinkSingleStage3DDetector', 'SMOKEMono3DHead', 'SMOKEMono3D']
