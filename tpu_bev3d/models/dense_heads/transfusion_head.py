@@ -272,13 +272,12 @@ class BEVFusionHead(nn.Module):
                              * pos[:, None].astype(preds.dtype)) / npos
             return l_cls, l_bbox
 
-        l_cls, l_bbox = jax.vmap(one)(
-            jax.tree_util.tree_map(lambda a: a, {
-                'heatmap': res['heatmap'], 'center': res['center'],
-                'height': res['height'], 'dim': res['dim'],
-                'rot': res['rot'],
-                **({'vel': res['vel']} if self.with_velocity else {})}),
-            bboxes, gt_bboxes, gt_labels, gt_mask)
+        per_query = {k: res[k] for k in
+                     ('heatmap', 'center', 'height', 'dim', 'rot')}
+        if self.with_velocity:
+            per_query['vel'] = res['vel']
+        l_cls, l_bbox = jax.vmap(one)(per_query, bboxes, gt_bboxes,
+                                      gt_labels, gt_mask)
 
         # --- dense heatmap loss (gaussian focal, ref :772-789)
         vx, vy = self.voxel_size[:2]
