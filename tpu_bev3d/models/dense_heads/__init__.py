@@ -6,6 +6,7 @@ from .vote_head import VoteHead
 from .fcos_mono3d_head import FCOSMono3DHead
 from .fcaf3d_head import FCAF3DHead, MinkSingleStage3DDetector
 from .smoke_head import SMOKEMono3DHead, SMOKEMono3D
+from .free_anchor3d_head import FreeAnchor3DHead
 
 __all__ = ['Anchor3DHead', 'CenterHead', 'SeparateHead', 'BEVFusionHead',
-           'PETRHead', 'VoteHead', 'FCOSMono3DHead', 'FCAF3DHead', 'MinkSingleStage3DDetector', 'SMOKEMono3DHead', 'SMOKEMono3D']
+           'PETRHead', 'VoteHead', 'FCOSMono3DHead', 'FCAF3DHead', 'MinkSingleStage3DDetector', 'SMOKEMono3DHead', 'SMOKEMono3D', 'FreeAnchor3DHead']
