@@ -52,9 +52,11 @@ class DeltaXYZWLHRBBoxCoder:
         xg = xt * diag + xa
         yg = yt * diag + ya
         zg = zt * ha + za
-        wg = jnp.exp(wt) * wa
-        lg = jnp.exp(lt) * la
-        hg = jnp.exp(ht) * ha
+        # clip the log-dims: keeps early-training/garbage weights finite
+        # (e^8 ≈ 3000× the anchor — far beyond any physical box)
+        wg = jnp.exp(jnp.clip(wt, -8, 8)) * wa
+        lg = jnp.exp(jnp.clip(lt, -8, 8)) * la
+        hg = jnp.exp(jnp.clip(ht, -8, 8)) * ha
         rg = rt + ra
         zg = zg - hg * 0.5
         out = [xg, yg, zg, wg, lg, hg, rg]
