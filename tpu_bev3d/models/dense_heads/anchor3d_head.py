@@ -111,22 +111,36 @@ class Anchor3DHead(nn.Module):
             pos_iou_thr=0.6, neg_iou_thr=0.45, min_pos_iou=0.45)] \
             * self.num_classes
 
+        # host-side: anchors carry class ids only when sizes map 1:1 onto
+        # classes; otherwise assignment is class-agnostic (ref
+        # train_mixins.anchor_target_3d without per-class filtering)
+        class_agnostic = bool(np.all(np.asarray(anchor_cls) < 0))
+
         def one_sample(cls_s, box_p, dir_p, gtb, gtl, gtm):
-            # per-class assignment: class c anchors vs class c GTs (ref
-            # train_mixins.anchor_target_3d assign_per_class path)
-            gt_inds = jnp.zeros(A, jnp.int32)
-            max_ol = jnp.full(A, -1.0)
-            for c, acfg in enumerate(assigner_cfgs):
-                amask = (anchor_cls[:, None] == c) & (gtl[None, :] == c)
+            if class_agnostic:
+                acfg = assigner_cfgs[0]
                 res = max_iou_assign(
                     anchors, gtb, gtl, gtm,
                     pos_iou_thr=acfg['pos_iou_thr'],
                     neg_iou_thr=acfg['neg_iou_thr'],
-                    min_pos_iou=acfg.get('min_pos_iou', 0.0),
-                    anchor_mask=amask)
-                sel = anchor_cls == c
-                gt_inds = jnp.where(sel, res.gt_inds, gt_inds)
-                max_ol = jnp.where(sel, res.max_overlaps, max_ol)
+                    min_pos_iou=acfg.get('min_pos_iou', 0.0))
+                gt_inds, max_ol = res.gt_inds, res.max_overlaps
+            else:
+                # per-class assignment: class c anchors vs class c GTs (ref
+                # train_mixins.anchor_target_3d assign_per_class path)
+                gt_inds = jnp.zeros(A, jnp.int32)
+                max_ol = jnp.full(A, -1.0)
+                for c, acfg in enumerate(assigner_cfgs):
+                    amask = (anchor_cls[:, None] == c) & (gtl[None, :] == c)
+                    res = max_iou_assign(
+                        anchors, gtb, gtl, gtm,
+                        pos_iou_thr=acfg['pos_iou_thr'],
+                        neg_iou_thr=acfg['neg_iou_thr'],
+                        min_pos_iou=acfg.get('min_pos_iou', 0.0),
+                        anchor_mask=amask)
+                    sel = anchor_cls == c
+                    gt_inds = jnp.where(sel, res.gt_inds, gt_inds)
+                    max_ol = jnp.where(sel, res.max_overlaps, max_ol)
             pos = gt_inds > 0
             neg = gt_inds == 0
             agt = jnp.clip(gt_inds - 1, 0)

@@ -81,7 +81,10 @@ class Anchor3DRangeGenerator:
 
     def anchor_classes(self, num_classes: int) -> np.ndarray:
         """Per-base-anchor class id [A] (size i ↔ class i when sizes are
-        per class)."""
+        per class). Returns all -1 when sizes don't map 1:1 onto classes —
+        consumers must then use CLASS-AGNOSTIC assignment (all anchors vs
+        all GTs, ref train_mixins.anchor_target_3d without per-class
+        filtering)."""
         n_rot = len(self.rotations)
         if len(self.sizes) == num_classes:
             return np.repeat(np.arange(num_classes), n_rot)
