@@ -25,10 +25,11 @@ def test_space_to_depth_scatter_roundtrip():
         jnp.asarray(feats), jnp.asarray(coords), batch_size=1, nz=8,
         ny=16, nx=16))
     assert out.shape == (1, 4, 8, 8, 8 * C)
-    # check one voxel landed in the right channel block
+    # check one voxel landed in the right channel block (xy-order layout:
+    # [B, dz, dx, dy, 8C], sub = z%2*4 + x%2*2 + y%2)
     z, y, x = coords[0, 1:]
-    sub = (z % 2) * 4 + (y % 2) * 2 + (x % 2)
-    block = out[0, z // 2, y // 2, x // 2, sub * C:(sub + 1) * C]
+    sub = (z % 2) * 4 + (x % 2) * 2 + (y % 2)
+    block = out[0, z // 2, x // 2, y // 2, sub * C:(sub + 1) * C]
     # may have collisions (add); at least the contribution is present
     assert np.all(np.abs(block) > 0) or np.allclose(block, feats[0])
 

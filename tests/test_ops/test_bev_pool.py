@@ -15,13 +15,15 @@ def test_bev_pool_matches_numpy(rng):
     out = np.asarray(bev_pool(feats, geom, bev_start=START,
                               bev_interval=INTERVAL, bev_shape=SHAPE))
     nx, ny, nz = SHAPE
-    want = np.zeros((B, nz, ny, nx, C), np.float32)
+    # xy-order grid [nz, nx, ny]; cell index truncates toward zero like the
+    # reference's .long() (depth_lss.py:137)
+    want = np.zeros((B, nz, nx, ny, C), np.float32)
     for b in range(B):
         for p in range(P):
-            c = np.floor(geom[b, p]).astype(int)
+            c = np.trunc(geom[b, p]).astype(int)
             if np.all(c >= 0) and np.all(c < np.array(SHAPE)):
-                want[b, c[2], c[1], c[0]] += feats[b, p]
-    want = want.transpose(0, 1, 4, 2, 3).reshape(B, nz * C, ny, nx)
+                want[b, c[2], c[0], c[1]] += feats[b, p]
+    want = want.transpose(0, 1, 4, 2, 3).reshape(B, nz * C, nx, ny)
     np.testing.assert_allclose(out, want, rtol=1e-5, atol=1e-5)
 
 

@@ -77,6 +77,14 @@ class WindowAttention(nn.Module):
 
 
 class SwinBlock(nn.Module):
+    """One Swin block on an UNPADDED feature map.
+
+    Parity with mmdet's SwinBlock (mmdet swin.py, used by the BEVFusion
+    config): norm1 → pad to window multiples (zeros) → (shift) → window
+    attention → crop → residual; then norm2 → FFN → residual. Padding
+    happens after norm1 (mmcv ShiftWindowMSA pads inside attn), LN eps is
+    torch's 1e-5, GELU is exact — all load-bearing for checkpoint parity.
+    """
     dim: int
     num_heads: int
     window_size: int = 7
@@ -85,20 +93,27 @@ class SwinBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        """x [B, H, W, C] (H, W already padded to window multiples)."""
+        """x [B, H, W, C] (unpadded)."""
         B, H, W, C = x.shape
         w = self.window_size
         shortcut = x
-        x = nn.LayerNorm(dtype=x.dtype)(x)
-        if self.shift > 0:
-            x = jnp.roll(x, (-self.shift, -self.shift), axis=(1, 2))
-            # attention mask for wrapped windows (static, computed in numpy)
-            img_mask = np.zeros((1, H, W, 1), np.float32)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=x.dtype)(x)
+        ph, pw = (-H) % w, (-W) % w
+        Hp, Wp = H + ph, W + pw
+        x = jnp.pad(x, ((0, 0), (0, ph), (0, pw), (0, 0)))
+        # mmdet's ShiftWindowMSA shifts whenever shift_size > 0 (no
+        # small-map special case); the wrap mask handles every shape
+        shift = self.shift
+        if shift > 0:
+            x = jnp.roll(x, (-shift, -shift), axis=(1, 2))
+            # attention mask for wrapped windows (static, computed in numpy
+            # on the PADDED grid, matching mmcv ShiftWindowMSA)
+            img_mask = np.zeros((1, Hp, Wp, 1), np.float32)
             cnt = 0
-            for hs in (slice(0, -w), slice(-w, -self.shift),
-                       slice(-self.shift, None)):
-                for ws in (slice(0, -w), slice(-w, -self.shift),
-                           slice(-self.shift, None)):
+            for hs in (slice(0, -w), slice(-w, -shift),
+                       slice(-shift, None)):
+                for ws in (slice(0, -w), slice(-w, -shift),
+                           slice(-shift, None)):
                     img_mask[:, hs, ws, :] = cnt
                     cnt += 1
             mw = window_partition(jnp.asarray(img_mask), w).reshape(-1, w * w)
@@ -108,31 +123,37 @@ class SwinBlock(nn.Module):
             attn_mask = None
         xw = window_partition(x, w).reshape(-1, w * w, C)
         xw = WindowAttention(self.dim, self.num_heads, w)(xw, attn_mask)
-        x = window_reverse(xw.reshape(-1, w, w, C), w, B, H, W)
-        if self.shift > 0:
-            x = jnp.roll(x, (self.shift, self.shift), axis=(1, 2))
+        x = window_reverse(xw.reshape(-1, w, w, C), w, B, Hp, Wp)
+        if shift > 0:
+            x = jnp.roll(x, (shift, shift), axis=(1, 2))
+        x = x[:, :H, :W]
         x = shortcut + x
-        y = nn.LayerNorm(dtype=x.dtype)(x)
+        y = nn.LayerNorm(epsilon=1e-5, dtype=x.dtype)(x)
         y = nn.Dense(int(C * self.mlp_ratio), dtype=x.dtype)(y)
-        y = nn.gelu(y)
+        y = nn.gelu(y, approximate=False)
         y = nn.Dense(C, dtype=x.dtype)(y)
         return x + y
 
 
 class PatchMerging(nn.Module):
+    """2×2 patch merge. Channel order matches mmcv's nn.Unfold(k=2, s=2):
+    index = c*4 + (di*2 + dj) (channel-major), NOT the position-major
+    order of the original Swin repo — load-bearing for converting mmdet
+    checkpoints' norm/reduction weights without permutation."""
     out_dim: int
 
     @nn.compact
     def __call__(self, x):
         B, H, W, C = x.shape
-        # pad to even
+        # pad to even (right/bottom, like mmcv)
         x = jnp.pad(x, ((0, 0), (0, H % 2), (0, W % 2), (0, 0)))
-        x0 = x[:, 0::2, 0::2]
-        x1 = x[:, 1::2, 0::2]
-        x2 = x[:, 0::2, 1::2]
-        x3 = x[:, 1::2, 1::2]
-        x = jnp.concatenate([x0, x1, x2, x3], -1)
-        x = nn.LayerNorm(dtype=x.dtype)(x)
+        x00 = x[:, 0::2, 0::2]
+        x01 = x[:, 0::2, 1::2]
+        x10 = x[:, 1::2, 0::2]
+        x11 = x[:, 1::2, 1::2]
+        x = jnp.stack([x00, x01, x10, x11], -1)       # [B,H2,W2,C,4]
+        x = x.reshape(x.shape[:3] + (C * 4,))         # c*4 + q layout
+        x = nn.LayerNorm(epsilon=1e-5, dtype=x.dtype)(x)
         return nn.Dense(self.out_dim, use_bias=False, dtype=x.dtype)(x)
 
 
@@ -152,22 +173,18 @@ class SwinTransformer(nn.Module):
         p = self.patch_size
         x = nn.Conv(self.embed_dims, (p, p), strides=(p, p), padding='VALID',
                     dtype=x.dtype, name='patch_embed')(x)
-        x = nn.LayerNorm(dtype=x.dtype)(x)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=x.dtype, name='patch_norm')(x)
         outs = []
         dim = self.embed_dims
         for i, depth in enumerate(self.depths):
-            B, H, W, C = x.shape
             w = self.window_size
-            ph, pw = (-H) % w, (-W) % w
-            xp = jnp.pad(x, ((0, 0), (0, ph), (0, pw), (0, 0)))
             for d in range(depth):
                 shift = 0 if d % 2 == 0 else w // 2
-                xp = SwinBlock(dim, self.num_heads[i], w, shift,
-                               self.mlp_ratio,
-                               name=f'stage{i}_block{d}')(xp, train)
-            x = xp[:, :H, :W]
+                x = SwinBlock(dim, self.num_heads[i], w, shift,
+                              self.mlp_ratio,
+                              name=f'stage{i}_block{d}')(x, train)
             if i in self.out_indices:
-                outs.append(nn.LayerNorm(dtype=x.dtype,
+                outs.append(nn.LayerNorm(epsilon=1e-5, dtype=x.dtype,
                                          name=f'out_norm{i}')(x))
             if i < len(self.depths) - 1:
                 dim *= 2

@@ -113,8 +113,10 @@ class Anchor3DHead(nn.Module):
 
         # host-side: anchors carry class ids only when sizes map 1:1 onto
         # classes; otherwise assignment is class-agnostic (ref
-        # train_mixins.anchor_target_3d without per-class filtering)
-        class_agnostic = bool(np.all(np.asarray(anchor_cls) < 0))
+        # train_mixins.anchor_target_3d without per-class filtering).
+        # Pure-Python config check: anchor_cls may be a traced constant
+        # under jit and must not be converted to numpy here.
+        class_agnostic = len(self._gen.sizes) != self.num_classes
 
         def one_sample(cls_s, box_p, dir_p, gtb, gtl, gtm):
             if class_agnostic:

@@ -31,12 +31,15 @@ from ..layers.common import ConvBNAct
 
 
 class PositionEncodingLearned(nn.Module):
-    """MLP position encoding on (x, y) coords (ref transformer.py:7-24)."""
+    """Learned position encoding on (x, y) coords (ref transformer.py:7-22:
+    Conv1d → BN1d → ReLU → Conv1d; 1×1 Conv1d ≡ Dense here)."""
     num_feats: int = 128
 
     @nn.compact
-    def __call__(self, xy):
+    def __call__(self, xy, train: bool = False):
         h = nn.Dense(self.num_feats, dtype=xy.dtype)(xy)
+        h = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         epsilon=1e-5, dtype=h.dtype)(h)
         h = nn.relu(h)
         return nn.Dense(self.num_feats, dtype=xy.dtype)(h)
 
@@ -49,23 +52,29 @@ class DecoderLayer(nn.Module):
     dim_ff: int = 256
 
     @nn.compact
-    def __call__(self, query, key, query_pos, key_pos):
+    def __call__(self, query, key, query_pos, key_pos, train: bool = False):
         """query [B,Q,C]; key [B,HW,C]; *_pos same leading shapes, 2D coords.
+
+        Matches ref TransformerDecoderLayer semantics (transformer.py:33-113
+        + mmcv MultiheadAttention): values carry the positional encoding,
+        residuals come from the un-encoded inputs; post-norm everywhere.
         """
-        qp = PositionEncodingLearned(self.d_model, name='q_posenc')(query_pos)
-        kp = PositionEncodingLearned(self.d_model, name='k_posenc')(key_pos)
+        qp = PositionEncodingLearned(self.d_model,
+                                     name='q_posenc')(query_pos, train)
+        kp = PositionEncodingLearned(self.d_model,
+                                     name='k_posenc')(key_pos, train)
         q = query + qp
         x = query + nn.MultiHeadDotProductAttention(
             self.nhead, dtype=query.dtype, name='self_attn')(q, q)
-        x = nn.LayerNorm(dtype=x.dtype)(x)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=x.dtype)(x)
         x2 = x + nn.MultiHeadDotProductAttention(
             self.nhead, dtype=x.dtype, name='cross_attn')(
                 x + qp, key + kp)
-        x2 = nn.LayerNorm(dtype=x2.dtype)(x2)
+        x2 = nn.LayerNorm(epsilon=1e-5, dtype=x2.dtype)(x2)
         y = nn.Dense(self.dim_ff, dtype=x2.dtype)(x2)
         y = nn.relu(y)
         y = nn.Dense(self.d_model, dtype=y.dtype)(y)
-        out = nn.LayerNorm(dtype=y.dtype)(x2 + y)
+        out = nn.LayerNorm(epsilon=1e-5, dtype=y.dtype)(x2 + y)
         return out
 
 
@@ -122,8 +131,11 @@ class BEVFusionHead(nn.Module):
     cost_iou_weight: float = 0.25
 
     def setup(self):
-        self.shared_conv = ConvBNAct(self.hidden_channel, 3, padding=1)
-        self.heatmap_conv = ConvBNAct(self.hidden_channel, 3, padding=1)
+        # ref: shared_conv is a PLAIN Conv2d with bias (bevfusion_head.py
+        # build_conv_layer, no norm); heatmap path is ConvModule(BN) + conv
+        self.shared_conv = nn.Conv(self.hidden_channel, (3, 3), padding=1)
+        self.heatmap_conv = ConvBNAct(self.hidden_channel, 3, padding=1,
+                                      bn_eps=1e-5)
         self.heatmap_out = nn.Conv(
             self.num_classes, (3, 3), padding=1,
             bias_init=nn.initializers.constant(-2.19))
@@ -140,10 +152,12 @@ class BEVFusionHead(nn.Module):
     # ------------------------------------------------------------------ fwd
 
     def __call__(self, bev_feats, train: bool = False):
-        """bev_feats [B, H, W, C] → dict of per-query predictions + dense
+        """bev_feats [B, H, W, C] in XY-ORDER (rows H = x bins, cols W = y
+        bins — the layout both BEVFusion encoders emit, matching the
+        reference's xy-order BEV) → dict of per-query predictions + dense
         heatmap (ref forward_single:198-316)."""
         B, H, W, _ = bev_feats.shape
-        feat = self.shared_conv(bev_feats, train)          # [B,H,W,hid]
+        feat = self.shared_conv(bev_feats)                 # [B,H,W,hid]
         heatmap = self.heatmap_out(self.heatmap_conv(feat, train))
         hm = jax.nn.sigmoid(heatmap)
         # peak NMS: 3×3 max-pool; classes 8/9 (pedestrian/traffic_cone on
@@ -158,8 +172,8 @@ class BEVFusionHead(nn.Module):
         top_v, top_i = jax.lax.top_k(flat, self.num_proposals)
         top_cls = top_i % self.num_classes
         pix = top_i // self.num_classes                    # [B, Q]
-        ys = (pix // W).astype(jnp.float32)
-        xs = (pix % W).astype(jnp.float32)
+        xs = (pix // W).astype(jnp.float32)                # row = x bin
+        ys = (pix % W).astype(jnp.float32)                 # col = y bin
 
         feat_flat = feat.reshape(B, H * W, self.hidden_channel)
         q_feat = jnp.take_along_axis(feat_flat, pix[..., None], 1)
@@ -167,11 +181,12 @@ class BEVFusionHead(nn.Module):
         q_feat = q_feat + self.class_encoding(onehot)
         q_pos = jnp.stack([xs, ys], -1)                    # [B,Q,2] grid xy
 
-        gy, gx = jnp.meshgrid(jnp.arange(H, dtype=jnp.float32),
+        gx, gy = jnp.meshgrid(jnp.arange(H, dtype=jnp.float32),
                               jnp.arange(W, dtype=jnp.float32), indexing='ij')
         k_pos = jnp.stack([gx, gy], -1).reshape(1, H * W, 2)
         k_pos = jnp.broadcast_to(k_pos, (B, H * W, 2))
-        q = self.decoder(q_feat, feat_flat, q_pos, k_pos)  # [B,Q,hid]
+        q = self.decoder(q_feat, feat_flat, q_pos, k_pos,
+                         train=train)                      # [B,Q,hid]
 
         res = self.prediction_head(q[:, :, None], train)   # maps on [B,Q,1,·]
         res = {kk: v[:, :, 0] for kk, v in res.items()}    # [B,Q,·]
@@ -228,6 +243,29 @@ class BEVFusionHead(nn.Module):
             parts.append(gtb[..., 7:9])
         return jnp.concatenate(parts, -1)
 
+    def _heatmap_targets(self, gt_bboxes, gt_labels, gt_mask, Hf, Wf):
+        """Gaussian heatmap targets [B, Hf, Wf, K] in xy-order (rows = x
+        bins; ref :703-742 via draw_heatmap_gaussian)."""
+        vx, vy = self.voxel_size[:2]
+        f = self.out_size_factor
+        x0, y0 = self.point_cloud_range[:2]
+
+        def hm_one(gtb, gtl, gtm):
+            cx = (gtb[:, 0] - x0) / vx / f
+            cy = (gtb[:, 1] - y0) / vy / f
+            ok = gtm & (cx >= 0) & (cx < Hf) & (cy >= 0) & (cy < Wf)
+            r = gaussian_radius(
+                jnp.stack([gtb[:, 3] / vx / f, gtb[:, 4] / vy / f], -1),
+                self.gaussian_overlap)
+            r = jnp.maximum(self.min_radius, jnp.floor(r))
+            # draw_heatmap centers are (col, row) = (y bin, x bin)
+            ctr = jnp.stack([cy, cx], -1)
+            return jnp.stack([
+                draw_heatmap(Hf, Wf, ctr, r, ok & (gtl == c))
+                for c in range(self.num_classes)], -1)
+
+        return jax.vmap(hm_one)(gt_bboxes, gt_labels, gt_mask)
+
     def loss_by_feat(self, res, gt_bboxes, gt_labels, gt_mask):
         """res: forward output; GT padded [B,G,·]. Ref loss:676-795."""
         B, Q = res['center'].shape[:2]
@@ -280,24 +318,8 @@ class BEVFusionHead(nn.Module):
                                       gt_labels, gt_mask)
 
         # --- dense heatmap loss (gaussian focal, ref :772-789)
-        vx, vy = self.voxel_size[:2]
-        f = self.out_size_factor
-        x0, y0 = self.point_cloud_range[:2]
-
-        def hm_one(gtb, gtl, gtm):
-            cx = (gtb[:, 0] - x0) / vx / f
-            cy = (gtb[:, 1] - y0) / vy / f
-            ok = gtm & (cx >= 0) & (cx < Wf) & (cy >= 0) & (cy < Hf)
-            r = gaussian_radius(
-                jnp.stack([gtb[:, 4] / vy / f, gtb[:, 3] / vx / f], -1),
-                self.gaussian_overlap)
-            r = jnp.maximum(self.min_radius, jnp.floor(r))
-            ctr = jnp.stack([cx, cy], -1)
-            return jnp.stack([
-                draw_heatmap(Hf, Wf, ctr, r, ok & (gtl == c))
-                for c in range(self.num_classes)], -1)
-
-        hm_tgt = jax.vmap(hm_one)(gt_bboxes, gt_labels, gt_mask)
+        hm_tgt = self._heatmap_targets(gt_bboxes, gt_labels, gt_mask,
+                                       Hf, Wf)
         hm_pred = jnp.clip(jax.nn.sigmoid(heatmap), 1e-4, 1 - 1e-4)
         npos_hm = jnp.maximum(jnp.sum((hm_tgt == 1).astype(jnp.float32)),
                               1.0)
@@ -319,9 +341,12 @@ class SeparateHeadSeq(nn.Module):
         for name, (out_c, num_conv) in dict(self.heads).items():
             h = x
             for i in range(num_conv - 1):
-                h = nn.Dense(self.head_conv, dtype=h.dtype,
+                h = nn.Dense(self.head_conv, dtype=h.dtype, use_bias=False,
                              name=f'{name}_fc{i}')(h)
-                h = nn.LayerNorm(dtype=h.dtype, name=f'{name}_ln{i}')(h)
+                # ref SeparateHead uses ConvModule(Conv1d, BN1d, ReLU)
+                h = nn.BatchNorm(use_running_average=not train,
+                                 momentum=0.9, epsilon=1e-5, dtype=h.dtype,
+                                 name=f'{name}_bn{i}')(h)
                 h = nn.relu(h)
             h = nn.Dense(out_c, dtype=h.dtype, name=f'{name}_out')(h)
             out[name] = h

@@ -34,7 +34,8 @@ class ConvFuser(nn.Module):
     @nn.compact
     def __call__(self, feats, train: bool = False):
         x = jnp.concatenate(feats, -1)
-        return ConvBNAct(self.out_channels, 3, padding=1)(x, train)
+        return ConvBNAct(self.out_channels, 3, padding=1,
+                         bn_eps=1e-5)(x, train)
 
 
 @MODELS.register_module()

@@ -1,6 +1,7 @@
 from .pillar_scatter import PointPillarsScatter
 from .sparse_encoder import SparseEncoder, BEVFusionSparseEncoder
 from .dense_encoder import DenseVoxelEncoder
+from .bev_column_encoder import BEVColumnEncoder
 
 __all__ = ['PointPillarsScatter', 'SparseEncoder', 'BEVFusionSparseEncoder',
-           'DenseVoxelEncoder']
+           'DenseVoxelEncoder', 'BEVColumnEncoder']

@@ -54,22 +54,25 @@ class Conv3DBNAct(nn.Module):
 
 def scatter_space_to_depth(voxel_feats, coords, *, batch_size, nz, ny, nx):
     """Scatter [V, C] voxels into a 2×-packed dense volume
-    [B, ⌈D/2⌉, ⌈H/2⌉, ⌈W/2⌉, 8·C] (channel block = z%2·4 + y%2·2 + x%2)."""
+    [B, ⌈D/2⌉, ⌈X/2⌉, ⌈Y/2⌉, 8·C] (channel block = z%2·4 + x%2·2 + y%2).
+
+    XY-ORDER spatial layout (rows = x bins) to match the reference
+    BEVFusion sparse encoder's xy layout and our camera bev_pool."""
     V, C = voxel_feats.shape
     dz, dy, dx = (nz + 1) // 2, (ny + 1) // 2, (nx + 1) // 2
     valid = coords[:, 0] >= 0
     z, y, x = coords[:, 1], coords[:, 2], coords[:, 3]
-    sub = (z % 2) * 4 + (y % 2) * 2 + (x % 2)
-    flat = (coords[:, 0] * (dz * dy * dx) + (z // 2) * (dy * dx)
-            + (y // 2) * dx + (x // 2))
-    flat = jnp.where(valid, flat, batch_size * dz * dy * dx)
+    sub = (z % 2) * 4 + (x % 2) * 2 + (y % 2)
+    flat = (coords[:, 0] * (dz * dx * dy) + (z // 2) * (dx * dy)
+            + (x // 2) * dy + (y // 2))
+    flat = jnp.where(valid, flat, batch_size * dz * dx * dy)
     onehot = jax.nn.one_hot(sub, 8, dtype=voxel_feats.dtype)
     wide = (onehot[:, :, None] * voxel_feats[:, None, :]).reshape(V, 8 * C)
     wide = jnp.where(valid[:, None], wide, 0)
-    canvas = jnp.zeros((batch_size * dz * dy * dx, 8 * C),
+    canvas = jnp.zeros((batch_size * dz * dx * dy, 8 * C),
                        voxel_feats.dtype)
     canvas = canvas.at[flat].add(wide, mode='drop')
-    return canvas.reshape(batch_size, dz, dy, dx, 8 * C)
+    return canvas.reshape(batch_size, dz, dx, dy, 8 * C)
 
 
 @MODELS.register_module()
@@ -102,8 +105,8 @@ class DenseVoxelEncoder(nn.Module):
         else:
             dense = voxel_scatter_dense(
                 voxel_features, coors, batch_size=batch_size, nz=nz,
-                ny=ny, nx=nx)                          # [B, C, D, H, W]
-            x = jnp.transpose(dense, (0, 2, 3, 4, 1))  # NDHWC
+                ny=ny, nx=nx)                          # [B, C, D, y, x]
+            x = jnp.transpose(dense, (0, 2, 4, 3, 1))  # [B, D, x, y, C]
             x = Conv3DBNAct(self.base_channels, (3, 3, 3), (2, 2, 2),
                             name='stem')(x, train)
         for i, ch in enumerate(self.stage_channels):

@@ -79,6 +79,7 @@ class SparseEncoder(nn.Module):
         (1,), (1, 1, 1), (1, 1, 1), ((0, 1, 1), 1, 1))
     stage_capacity_factor: float = 1.0  # per-downsample capacity shrink
     conv_out_kernel: Tuple[int, int, int] = (3, 1, 1)
+    xy_order: bool = False  # BEVFusion variant emits [B, x, y, C]
     conv_out_stride: Tuple[int, int, int] = (2, 1, 1)
 
     @nn.compact
@@ -119,7 +120,12 @@ class SparseEncoder(nn.Module):
         dense = st.dense()                       # [B, C, D, H, W]
         B, C, D, H, W = dense.shape
         out = dense.reshape(B, C * D, H, W)
-        return jnp.transpose(out, (0, 2, 3, 1))  # NHWC
+        if self.xy_order:
+            # BEVFusion's encoder is xy-order (rows = x bins), ref
+            # projects/BEVFusion/bevfusion/sparse_encoder.py — matches the
+            # camera bev_pool layout for fusion
+            return jnp.transpose(out, (0, 3, 2, 1))  # [B, x, y, C·D]
+        return jnp.transpose(out, (0, 2, 3, 1))  # NHWC [B, y, x, C·D]
 
 
 @MODELS.register_module()
@@ -138,3 +144,4 @@ class BEVFusionSparseEncoder(SparseEncoder):
         (0, 0, 1), (0, 0, 1), (0, 0, (0, 1, 1)), (0, 0))
     base_channels: int = 16
     output_channels: int = 128
+    xy_order: bool = True

@@ -48,8 +48,9 @@ class GeneralizedLSSFPN(nn.Module):
         for i in range(n - 2, -1, -1):
             up = resize(laterals[i + 1], laterals[i].shape[1:3])
             x = jnp.concatenate([laterals[i], up], -1)
-            x = ConvBNAct(self.out_channels, 1, name=f'lateral_{i}')(x, train)
-            x = ConvBNAct(self.out_channels, 3, padding=1,
+            x = ConvBNAct(self.out_channels, 1, bn_eps=1e-5,
+                          name=f'lateral_{i}')(x, train)
+            x = ConvBNAct(self.out_channels, 3, padding=1, bn_eps=1e-5,
                           name=f'fpn_{i}')(x, train)
             laterals[i] = x
         return tuple(laterals[:min(self.num_outs, n - 1)])

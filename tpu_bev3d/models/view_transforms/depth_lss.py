@@ -75,19 +75,24 @@ class BaseLSS(nn.Module):
         cam2lidar [B,N,4,4]; intrins [B,N,3,3]; post_rots [B,N,3,3];
         post_trans [B,N,3]; lidar_aug [B,4,4] or None.
         """
+        # geometry must be exact fp32: TPU einsums default to bf16 MXU
+        # passes, which costs ~0.4 m at frustum scale and reshuffles BEV
+        # cell assignment vs the reference (checkpoint-parity blocker)
+        hi = jax.lax.Precision.HIGHEST
         frustum = self.create_frustum()                   # [D,fH,fW,3]
         pts = frustum[None, None] - post_trans[:, :, None, None, None, :]
         inv_post = jnp.linalg.inv(post_rots)              # [B,N,3,3]
-        pts = jnp.einsum('bnij,bndhwj->bndhwi', inv_post, pts)
+        pts = jnp.einsum('bnij,bndhwj->bndhwi', inv_post, pts, precision=hi)
         # undo perspective: (u, v, d) → (u*d, v*d, d)
         pts = jnp.concatenate([pts[..., :2] * pts[..., 2:3], pts[..., 2:3]],
                               -1)
         combine = jnp.einsum('bnij,bnjk->bnik', cam2lidar[..., :3, :3],
-                             jnp.linalg.inv(intrins))
-        pts = jnp.einsum('bnij,bndhwj->bndhwi', combine, pts) \
+                             jnp.linalg.inv(intrins), precision=hi)
+        pts = jnp.einsum('bnij,bndhwj->bndhwi', combine, pts, precision=hi) \
             + cam2lidar[:, :, None, None, None, :3, 3]
         if lidar_aug is not None:
-            pts = jnp.einsum('bij,bndhwj->bndhwi', lidar_aug[:, :3, :3], pts) \
+            pts = jnp.einsum('bij,bndhwj->bndhwi', lidar_aug[:, :3, :3], pts,
+                             precision=hi) \
                 + lidar_aug[:, None, None, None, None, :3, 3]
         return pts
 
@@ -95,7 +100,8 @@ class BaseLSS(nn.Module):
         """softmax(depth) ⊗ feats → bev_pool.
 
         depth_logits [B,N,fH,fW,D]; feats [B,N,fH,fW,C];
-        geom [B,N,D,fH,fW,3] → [B, ny, nx, C*nz] NHWC.
+        geom [B,N,D,fH,fW,3] → [B, nx, ny, nz*C] NHWC, XY-ORDER (rows = x
+        bins, like the reference's camera BEV and xy-order sparse encoder).
 
         The softmax stays in f32 (the reference's fp32 island); the D×C
         outer product — the HBM hog at [B,N,D,fH,fW,C] — is kept in the
@@ -110,8 +116,8 @@ class BaseLSS(nn.Module):
             bev_start=(self.xbound[0], self.ybound[0], self.zbound[0]),
             bev_interval=(self.xbound[2], self.ybound[2], self.zbound[2]),
             bev_shape=(nx, ny, nz),
-            accum_dtype=jnp.float32)                      # [B, nz*C, ny, nx]
-        return jnp.transpose(out, (0, 2, 3, 1))           # NHWC
+            accum_dtype=jnp.float32)                      # [B, nz*C, nx, ny]
+        return jnp.transpose(out, (0, 2, 3, 1))           # NHWC xy-order
 
 
 def project_points_to_depth(points, points_mask, lidar2img, image_size,
@@ -131,10 +137,12 @@ def project_points_to_depth(points, points_mask, lidar2img, image_size,
     if lidar_aug is not None:
         # undo the lidar-frame augmentation before projecting (ref :381-388)
         inv = jnp.linalg.inv(lidar_aug)
-        xyz = jnp.einsum('bij,bpj->bpi', inv[:, :3, :3], xyz) \
+        xyz = jnp.einsum('bij,bpj->bpi', inv[:, :3, :3], xyz,
+                         precision=jax.lax.Precision.HIGHEST) \
             + inv[:, None, :3, 3]
     hom = jnp.concatenate([xyz, jnp.ones_like(xyz[..., :1])], -1)  # [B,P,4]
-    proj = jnp.einsum('bnij,bpj->bnpi', lidar2img, hom)   # [B,N,P,4]
+    proj = jnp.einsum('bnij,bpj->bnpi', lidar2img, hom,
+                      precision=jax.lax.Precision.HIGHEST)   # [B,N,P,4]
     z = proj[..., 2]
     uv = proj[..., :2] / jnp.maximum(z[..., None], 1e-5)
     u = jnp.round(uv[..., 0]).astype(jnp.int32)
@@ -175,11 +183,12 @@ class LSSTransform(BaseLSS):
         out = self.lift_and_pool(depth_logits, feats, geom)
         out = out.astype(img_feats.dtype)  # leave the fp32 island
         if self.downsample > 1:
-            out = ConvBNAct(out.shape[-1], 3, padding=1,
+            out = ConvBNAct(out.shape[-1], 3, padding=1, bn_eps=1e-5,
                             name='down_conv1')(out, train)
             out = ConvBNAct(out.shape[-1], 3, stride=self.downsample,
-                            padding=1, name='down_conv2')(out, train)
-            out = ConvBNAct(out.shape[-1], 3, padding=1,
+                            padding=1, bn_eps=1e-5,
+                            name='down_conv2')(out, train)
+            out = ConvBNAct(out.shape[-1], 3, padding=1, bn_eps=1e-5,
                             name='down_conv3')(out, train)
         return out, depth_logits
 
@@ -203,13 +212,17 @@ class DepthLSSTransform(BaseLSS):
         d = depth_map.reshape(B * N, iH, iW, 1)
         # dtransform: stride-8 conv stack to feature resolution
         # (ref :581-592 — convs stride 1,2,2,2 with 8ch→32→64)
-        d = ConvBNAct(8, 1, name='dt0')(d, train)
-        d = ConvBNAct(32, 5, stride=4, padding=2, name='dt1')(d, train)
-        d = ConvBNAct(64, 5, stride=2, padding=2, name='dt2')(d, train)
+        d = ConvBNAct(8, 1, bias=True, bn_eps=1e-5, name='dt0')(d, train)
+        d = ConvBNAct(32, 5, stride=4, padding=2, bias=True,
+                      bn_eps=1e-5, name='dt1')(d, train)
+        d = ConvBNAct(64, 5, stride=2, padding=2, bias=True,
+                      bn_eps=1e-5, name='dt2')(d, train)
         x = jnp.concatenate([d, img_feats.reshape(B * N, fH, fW, C)], -1)
         # depthnet (ref :593-600: three 3×3 convs then 1×1 to D+C)
-        x = ConvBNAct(self.in_channels, 3, padding=1, name='dn0')(x, train)
-        x = ConvBNAct(self.in_channels, 3, padding=1, name='dn1')(x, train)
+        x = ConvBNAct(self.in_channels, 3, padding=1, bias=True,
+                      bn_eps=1e-5, name='dn0')(x, train)
+        x = ConvBNAct(self.in_channels, 3, padding=1, bias=True,
+                      bn_eps=1e-5, name='dn1')(x, train)
         x = nn.Conv(self.D + self.out_channels, (1, 1), name='dn_out')(x)
         x = x.reshape(B, N, fH, fW, -1)
         depth_logits = x[..., :self.D]
@@ -222,10 +235,13 @@ class DepthLSSTransform(BaseLSS):
         out = out.astype(img_feats.dtype)  # leave the fp32 island
         if self.downsample > 1:
             c = out.shape[-1]
-            out = ConvBNAct(c, 3, padding=1, name='down_conv1')(out, train)
+            out = ConvBNAct(c, 3, padding=1, bn_eps=1e-5,
+                            name='down_conv1')(out, train)
             out = ConvBNAct(c, 3, stride=self.downsample, padding=1,
+                            bn_eps=1e-5,
                             name='down_conv2')(out, train)
-            out = ConvBNAct(c, 3, padding=1, name='down_conv3')(out, train)
+            out = ConvBNAct(c, 3, padding=1, bn_eps=1e-5,
+                            name='down_conv3')(out, train)
         return out, depth_logits
 
     def depth_loss(self, depth_logits, points, points_mask, cam_params):

@@ -39,7 +39,10 @@ def bev_pool_ranks(geom, bev_start, bev_interval, bev_shape):
     start = jnp.asarray(bev_start, jnp.float32)
     interval = jnp.asarray(bev_interval, jnp.float32)
     shape = jnp.asarray(bev_shape, jnp.int32)
-    c = jnp.floor((geom - start) / interval).astype(jnp.int32)
+    # truncation toward zero, NOT floor: the reference casts with .long()
+    # (depth_lss.py:137), so points in [start-interval, start) land in
+    # cell 0 — parity-relevant at the BEV boundary
+    c = ((geom - start) / interval).astype(jnp.int32)
     valid = jnp.all((c >= 0) & (c < shape), axis=-1)
     return c, valid
 
@@ -57,8 +60,10 @@ def bev_pool(feats, geom, *, bev_start: Tuple[float, float, float],
         accumulator so low-precision products still sum in f32.
       geom:  [B, ..., 3] matching coords in the ego frame.
       bev_shape: (nx, ny, nz).
-    Returns: [B, nz*C, ny, nx] — z collapsed into channels like the reference
-      (depth_lss.py:202-204 ``cat(x.unbind(dim=2), 1)``).
+    Returns: [B, nz*C, nx, ny] — XY-ORDER (rows = x bins), matching the
+      reference's x-major ranks (depth_lss.py:166 ``rank = x*(W*D*B) +
+      y*(D*B) + ...``) and its xy-order sparse lidar encoder; z collapsed
+      into channels like ``cat(x.unbind(dim=2), 1)`` (depth_lss.py:202).
     """
     B = feats.shape[0]
     C = feats.shape[-1]
@@ -68,16 +73,16 @@ def bev_pool(feats, geom, *, bev_start: Tuple[float, float, float],
     f = feats.reshape(B, -1, C)
     cc = coords.reshape(B, -1, 3)
     vv = valid.reshape(B, -1)
-    # rank within one sample: z*ny*nx + y*nx + x  (grid is [nz, ny, nx])
-    rank = (cc[..., 2] * (ny * nx) + cc[..., 1] * nx + cc[..., 0])
-    rank = jnp.where(vv, rank, nz * ny * nx)  # OOB → dropped
+    # rank within one sample: z*nx*ny + x*ny + y  (grid is [nz, nx, ny])
+    rank = (cc[..., 2] * (nx * ny) + cc[..., 0] * ny + cc[..., 1])
+    rank = jnp.where(vv, rank, nz * nx * ny)  # OOB → dropped
 
     def pool_one(fi, ri):
-        out = jnp.zeros((nz * ny * nx, C), acc)
+        out = jnp.zeros((nz * nx * ny, C), acc)
         return out.at[ri].add(fi.astype(acc), mode='drop')
 
-    out = jax.vmap(pool_one)(f, rank)            # [B, nz*ny*nx, C]
-    out = out.reshape(B, nz, ny, nx, C)
-    # collapse z into channels: [B, nz*C, ny, nx]
-    out = jnp.transpose(out, (0, 1, 4, 2, 3)).reshape(B, nz * C, ny, nx)
+    out = jax.vmap(pool_one)(f, rank)            # [B, nz*nx*ny, C]
+    out = out.reshape(B, nz, nx, ny, C)
+    # collapse z into channels: [B, nz*C, nx, ny]
+    out = jnp.transpose(out, (0, 1, 4, 2, 3)).reshape(B, nz * C, nx, ny)
     return out

@@ -28,6 +28,254 @@ def _convbn(torch_conv: str, torch_bn: str, flax_prefix: Tuple[str, ...],
     }
 
 
+def _ln(torch_name: str, flax_path: Tuple[str, ...]) -> Dict[str, Tuple[str, ...]]:
+    return {f'{torch_name}.weight': ('params',) + flax_path + ('scale',),
+            f'{torch_name}.bias': ('params',) + flax_path + ('bias',)}
+
+
+def _linear(torch_name: str, flax_path: Tuple[str, ...],
+            bias: bool = True) -> Dict[str, Tuple[str, ...]]:
+    m = {f'{torch_name}.weight|linear':
+         ('params',) + flax_path + ('kernel',)}
+    if bias:
+        m[f'{torch_name}.bias'] = ('params',) + flax_path + ('bias',)
+    return m
+
+
+def swin_mapping(prefix: str = 'img_backbone.',
+                 flax_prefix: Tuple[str, ...] = ('_img_backbone',),
+                 depths=(2, 2, 6, 2),
+                 out_indices=(1, 2, 3)) -> Dict[str, Tuple[str, ...]]:
+    """mmdet SwinTransformer → models/backbones/swin.py.
+
+    Torch layout: patch_embed.projection/.norm, stages.S.blocks.B.{norm1,
+    attn.w_msa.{relative_position_bias_table,qkv,proj},norm2,
+    ffn.layers.0.0,ffn.layers.1}, stages.S.downsample.{norm,reduction},
+    norm{i} (mmdet swin.py; BEVFusion config projects/BEVFusion/configs/
+    nuscenes/bevfusion_lidar-cam_*.py:16-35).
+    """
+    m: Dict[str, Tuple[str, ...]] = {}
+    P, F = prefix, flax_prefix
+    m[f'{P}patch_embed.projection.weight|conv2d'] = \
+        ('params',) + F + ('patch_embed', 'kernel')
+    m[f'{P}patch_embed.projection.bias'] = \
+        ('params',) + F + ('patch_embed', 'bias')
+    m.update(_ln(f'{P}patch_embed.norm', F + ('patch_norm',)))
+    for s, depth in enumerate(depths):
+        for b in range(depth):
+            tb = f'{P}stages.{s}.blocks.{b}'
+            fb = F + (f'stage{s}_block{b}',)
+            m.update(_ln(f'{tb}.norm1', fb + ('LayerNorm_0',)))
+            m[f'{tb}.attn.w_msa.relative_position_bias_table'] = \
+                ('params',) + fb + ('WindowAttention_0', 'rel_pos_bias')
+            m.update(_linear(f'{tb}.attn.w_msa.qkv',
+                             fb + ('WindowAttention_0', 'qkv')))
+            m.update(_linear(f'{tb}.attn.w_msa.proj',
+                             fb + ('WindowAttention_0', 'proj')))
+            m.update(_ln(f'{tb}.norm2', fb + ('LayerNorm_1',)))
+            m.update(_linear(f'{tb}.ffn.layers.0.0', fb + ('Dense_0',)))
+            m.update(_linear(f'{tb}.ffn.layers.1', fb + ('Dense_1',)))
+        if s < len(depths) - 1:
+            m.update(_ln(f'{P}stages.{s}.downsample.norm',
+                         F + (f'merge{s}', 'LayerNorm_0')))
+            m.update(_linear(f'{P}stages.{s}.downsample.reduction',
+                             F + (f'merge{s}', 'Dense_0'), bias=False))
+    for i in out_indices:
+        m.update(_ln(f'{P}norm{i}', F + (f'out_norm{i}',)))
+    return m
+
+
+def second_mapping(layer_nums, prefix: str = 'backbone.',
+                   flax_prefix: Tuple[str, ...] = ('_backbone',)
+                   ) -> Dict[str, Tuple[str, ...]]:
+    """SECOND backbone: blocks.S = Sequential(Conv,BN,ReLU ×(n+1))
+    (ref mmdet3d/models/backbones/second.py)."""
+    m: Dict[str, Tuple[str, ...]] = {}
+    for s, n in enumerate(layer_nums):
+        for j in range(n + 1):
+            m.update(_convbn(f'{prefix}blocks.{s}.{3 * j}',
+                             f'{prefix}blocks.{s}.{3 * j + 1}',
+                             flax_prefix + (f'block_{s}_{j}',)))
+    return m
+
+
+def secondfpn_mapping(upsample_strides, prefix: str = 'neck.',
+                      flax_prefix: Tuple[str, ...] = ('_neck',)
+                      ) -> Dict[str, Tuple[str, ...]]:
+    """SECONDFPN: deblocks.S = Sequential(ConvTranspose/Conv, BN, ReLU)."""
+    m: Dict[str, Tuple[str, ...]] = {}
+    for s, st in enumerate(upsample_strides):
+        kind = 'deconv2d' if st >= 1 else 'conv2d'
+        m.update(_convbn(f'{prefix}deblocks.{s}.0', f'{prefix}deblocks.{s}.1',
+                         flax_prefix + (f'deblock_{s}',), kind=kind))
+    return m
+
+
+def _seq_convbn(torch_seq: str, idx_conv: int, flax_path: Tuple[str, ...],
+                bias: bool = True) -> Dict[str, Tuple[str, ...]]:
+    """One Conv2d+BN pair inside a torch nn.Sequential (indices i, i+1)
+    mapped onto a flax ConvBNAct subtree."""
+    m = {f'{torch_seq}.{idx_conv}.weight|conv2d':
+         ('params',) + flax_path + ('Conv_0', 'kernel')}
+    if bias:
+        m[f'{torch_seq}.{idx_conv}.bias'] = \
+            ('params',) + flax_path + ('Conv_0', 'bias')
+    b = idx_conv + 1
+    m.update({
+        f'{torch_seq}.{b}.weight':
+            ('params',) + flax_path + ('BatchNorm_0', 'scale'),
+        f'{torch_seq}.{b}.bias':
+            ('params',) + flax_path + ('BatchNorm_0', 'bias'),
+        f'{torch_seq}.{b}.running_mean':
+            ('batch_stats',) + flax_path + ('BatchNorm_0', 'mean'),
+        f'{torch_seq}.{b}.running_var':
+            ('batch_stats',) + flax_path + ('BatchNorm_0', 'var'),
+    })
+    return m
+
+
+def lss_fpn_mapping(num_ins: int = 3, prefix: str = 'img_neck.',
+                    flax_prefix: Tuple[str, ...] = ('_img_neck',)
+                    ) -> Dict[str, Tuple[str, ...]]:
+    """GeneralizedLSSFPN: lateral_convs.I / fpn_convs.I ConvModules
+    (ref projects/BEVFusion/bevfusion/bevfusion_necks.py:40-70)."""
+    from .torch_convert import auto_map_convbn
+    m: Dict[str, Tuple[str, ...]] = {}
+    for i in range(num_ins - 1):
+        m.update(auto_map_convbn(f'{prefix}lateral_convs.{i}',
+                                 flax_prefix + (f'lateral_{i}',)))
+        m.update(auto_map_convbn(f'{prefix}fpn_convs.{i}',
+                                 flax_prefix + (f'fpn_{i}',)))
+    return m
+
+
+def depth_lss_mapping(prefix: str = 'view_transform.',
+                      flax_prefix: Tuple[str, ...] = ('_view_transform',),
+                      downsample: int = 2) -> Dict[str, Tuple[str, ...]]:
+    """DepthLSSTransform sequentials (ref depth_lss.py:581-620):
+    dtransform convs at indices 0/3/6 (bias=True), depthnet convs at
+    0/3 + final 1×1 at 6, downsample convs at 0/3/6 (bias=False)."""
+    P, F = prefix, flax_prefix
+    m: Dict[str, Tuple[str, ...]] = {}
+    for i, name in zip((0, 3, 6), ('dt0', 'dt1', 'dt2')):
+        m.update(_seq_convbn(f'{P}dtransform', i, F + (name,), bias=True))
+    for i, name in zip((0, 3), ('dn0', 'dn1')):
+        m.update(_seq_convbn(f'{P}depthnet', i, F + (name,), bias=True))
+    m[f'{P}depthnet.6.weight|conv2d'] = ('params',) + F + ('dn_out', 'kernel')
+    m[f'{P}depthnet.6.bias'] = ('params',) + F + ('dn_out', 'bias')
+    if downsample > 1:
+        for i, name in zip((0, 3, 6),
+                           ('down_conv1', 'down_conv2', 'down_conv3')):
+            m.update(_seq_convbn(f'{P}downsample', i, F + (name,),
+                                 bias=False))
+    return m
+
+
+def convfuser_mapping(prefix: str = 'fuser.',
+                      flax_prefix: Tuple[str, ...] = ('_fuser',)
+                      ) -> Dict[str, Tuple[str, ...]]:
+    """ConvFuser = Sequential(Conv2d bias=False, BN, ReLU)
+    (ref bevfusion.py ConvFuser). Torch keys are bare indices
+    ('fuser.0.weight', or '0.weight' with no prefix)."""
+    base = prefix.rstrip('.')
+    m = _seq_convbn(base if base else '', 0,
+                    flax_prefix + ('ConvBNAct_0',), bias=False)
+    if not base:  # strip the leading '.' produced by an empty prefix
+        m = {k.lstrip('.'): v for k, v in m.items()}
+    return m
+
+
+def _mha(torch_name: str, flax_path: Tuple[str, ...]
+         ) -> Dict[str, Tuple[str, ...]]:
+    """torch nn.MultiheadAttention → flax MultiHeadDotProductAttention
+    (packed in_proj split into query/key/value DenseGenerals)."""
+    m: Dict[str, Tuple[str, ...]] = {}
+    for part, tag in (('query', 'mha_q'), ('key', 'mha_k'),
+                      ('value', 'mha_v')):
+        m[f'{torch_name}.in_proj_weight|{tag}'] = \
+            ('params',) + flax_path + (part, 'kernel')
+        m[f'{torch_name}.in_proj_bias|{tag}'] = \
+            ('params',) + flax_path + (part, 'bias')
+    m[f'{torch_name}.out_proj.weight|mha_out'] = \
+        ('params',) + flax_path + ('out', 'kernel')
+    m[f'{torch_name}.out_proj.bias'] = \
+        ('params',) + flax_path + ('out', 'bias')
+    return m
+
+
+def _bn1d(torch_name: str, flax_path: Tuple[str, ...]
+          ) -> Dict[str, Tuple[str, ...]]:
+    return {
+        f'{torch_name}.weight': ('params',) + flax_path + ('scale',),
+        f'{torch_name}.bias': ('params',) + flax_path + ('bias',),
+        f'{torch_name}.running_mean':
+            ('batch_stats',) + flax_path + ('mean',),
+        f'{torch_name}.running_var':
+            ('batch_stats',) + flax_path + ('var',),
+    }
+
+
+def _posembed(torch_name: str, flax_path: Tuple[str, ...]
+              ) -> Dict[str, Tuple[str, ...]]:
+    """PositionEncodingLearned: Sequential(Conv1d, BN1d, ReLU, Conv1d)
+    (ref transformer.py:7-22)."""
+    m: Dict[str, Tuple[str, ...]] = {}
+    p = f'{torch_name}.position_embedding_head'
+    m[f'{p}.0.weight|conv1d'] = ('params',) + flax_path + ('Dense_0', 'kernel')
+    m[f'{p}.0.bias'] = ('params',) + flax_path + ('Dense_0', 'bias')
+    m.update(_bn1d(f'{p}.1', flax_path + ('BatchNorm_0',)))
+    m[f'{p}.3.weight|conv1d'] = ('params',) + flax_path + ('Dense_1', 'kernel')
+    m[f'{p}.3.bias'] = ('params',) + flax_path + ('Dense_1', 'bias')
+    return m
+
+
+def transfusion_head_mapping(prefix: str = 'bbox_head.',
+                             flax_prefix: Tuple[str, ...] = ('_bbox_head',),
+                             heads=('center', 'height', 'dim', 'rot', 'vel',
+                                    'heatmap')) -> Dict[str, Tuple[str, ...]]:
+    """BEVFusion TransFusionHead (ref bevfusion_head.py:41-160 +
+    transformer.py TransformerDecoderLayer + SeparateHead):
+    shared_conv / heatmap_head.{0,1} / class_encoding / decoder.0.* /
+    prediction_heads.0.<key>.{0(ConvModule),1(Conv1d)}."""
+    P, F = prefix, flax_prefix
+    m: Dict[str, Tuple[str, ...]] = {}
+    m[f'{P}shared_conv.weight|conv2d'] = \
+        ('params',) + F + ('shared_conv', 'kernel')
+    m[f'{P}shared_conv.bias'] = ('params',) + F + ('shared_conv', 'bias')
+    from .torch_convert import auto_map_convbn
+    m.update(auto_map_convbn(f'{P}heatmap_head.0', F + ('heatmap_conv',)))
+    m[f'{P}heatmap_head.1.weight|conv2d'] = \
+        ('params',) + F + ('heatmap_out', 'kernel')
+    m[f'{P}heatmap_head.1.bias'] = \
+        ('params',) + F + ('heatmap_out', 'bias')
+    m[f'{P}class_encoding.weight|conv1d'] = \
+        ('params',) + F + ('class_encoding', 'kernel')
+    m[f'{P}class_encoding.bias'] = \
+        ('params',) + F + ('class_encoding', 'bias')
+    # decoder layer 0
+    d = f'{P}decoder.0'
+    Fd = F + ('decoder',)
+    m.update(_posembed(f'{d}.self_posembed', Fd + ('q_posenc',)))
+    m.update(_posembed(f'{d}.cross_posembed', Fd + ('k_posenc',)))
+    m.update(_mha(f'{d}.self_attn.attn', Fd + ('self_attn',)))
+    m.update(_mha(f'{d}.cross_attn.attn', Fd + ('cross_attn',)))
+    for i in range(3):
+        m.update(_ln(f'{d}.norms.{i}', Fd + (f'LayerNorm_{i}',)))
+    m.update(_linear(f'{d}.ffn.layers.0.0', Fd + ('Dense_0',)))
+    m.update(_linear(f'{d}.ffn.layers.1', Fd + ('Dense_1',)))
+    # separate prediction heads
+    for k in heads:
+        ph = f'{P}prediction_heads.0.{k}'
+        Fp = F + ('prediction_head',)
+        m[f'{ph}.0.conv.weight|conv1d'] = \
+            ('params',) + Fp + (f'{k}_fc0', 'kernel')
+        m.update(_bn1d(f'{ph}.0.bn', Fp + (f'{k}_bn0',)))
+        m[f'{ph}.1.weight|conv1d'] = \
+            ('params',) + Fp + (f'{k}_out', 'kernel')
+        m[f'{ph}.1.bias'] = ('params',) + Fp + (f'{k}_out', 'bias')
+    return m
+
+
 def pointpillars_mapping(model_cfg: dict) -> Dict[str, Tuple[str, ...]]:
     """Mapping for the VoxelNet/PointPillars family (ref state_dict names:
     voxel_encoder.pfn_layers.N.{linear,norm}, backbone.blocks.S.I
@@ -50,20 +298,9 @@ def pointpillars_mapping(model_cfg: dict) -> Dict[str, Tuple[str, ...]]:
         m[f'voxel_encoder.pfn_layers.{i}.norm.running_var'] = \
             ('batch_stats', '_voxel_encoder', f'MaskedBatchNorm_{i}',
              'var')
-    # --- SECOND backbone: blocks.S = Sequential(Conv,BN,ReLU, [Conv,BN,ReLU]×n)
-    layer_nums = list(model_cfg['backbone']['layer_nums'])
-    for s, n in enumerate(layer_nums):
-        for j in range(n + 1):
-            tc = f'backbone.blocks.{s}.{3 * j}'
-            tb = f'backbone.blocks.{s}.{3 * j + 1}'
-            m.update(_convbn(tc, tb,
-                             ('_backbone', f'block_{s}_{j}')))
-    # --- SECONDFPN: deblocks.S = Sequential(ConvTranspose/Conv, BN, ReLU)
-    ups = list(model_cfg['neck']['upsample_strides'])
-    for s, st in enumerate(ups):
-        kind = 'deconv2d' if st > 1 or st == 1 else 'conv2d'
-        m.update(_convbn(f'neck.deblocks.{s}.0', f'neck.deblocks.{s}.1',
-                         ('_neck', f'deblock_{s}'), kind=kind))
+    # --- SECOND backbone + SECONDFPN neck
+    m.update(second_mapping(list(model_cfg['backbone']['layer_nums'])))
+    m.update(secondfpn_mapping(list(model_cfg['neck']['upsample_strides'])))
     # --- Anchor3DHead 1×1 convs
     for tname, fname in (('conv_cls', 'conv_cls'), ('conv_reg', 'conv_reg'),
                          ('conv_dir_cls', 'conv_dir')):

@@ -48,6 +48,39 @@ def linear_kernel(w):
     return np.transpose(_to_np(w), (1, 0))
 
 
+def conv1d_kernel(w):
+    """torch Conv1d k=1 [O, I, 1] → flax Dense [I, O]."""
+    return np.transpose(_to_np(w)[..., 0], (1, 0))
+
+
+def _mha_in(w, third):
+    """torch MultiheadAttention in_proj_weight [3E, E] → one of q/k/v as
+    flax DenseGeneral kernel [E, E] (reshaped to [E, h, dh] by target)."""
+    w = _to_np(w)
+    E = w.shape[-1] if w.ndim == 2 else w.shape[0] // 3
+    s = w.shape[0] // 3
+    part = w[third * s:(third + 1) * s]
+    return part.T if w.ndim == 2 else part   # weight → [E,E]; bias → [E]
+
+
+def mha_q(w):
+    return _mha_in(w, 0)
+
+
+def mha_k(w):
+    return _mha_in(w, 1)
+
+
+def mha_v(w):
+    return _mha_in(w, 2)
+
+
+def mha_out(w):
+    """out_proj.weight [E, E] → flax out kernel [E(in), E(out)] (reshaped
+    to [h, dh, E] by target)."""
+    return np.transpose(_to_np(w), (1, 0))
+
+
 def sparse_conv_kernel(w):
     """spconv v2 [O, kz, ky, kx, I] → [K³(z-major), I, O]."""
     w = _to_np(w)
@@ -67,11 +100,16 @@ def set_in_tree(tree: dict, path: Sequence[str], value: np.ndarray,
     node = tree
     for p in path[:-1]:
         node = node[p]
-    if strict_shape and hasattr(node[path[-1]], 'shape') and \
-            tuple(node[path[-1]].shape) != tuple(value.shape):
-        raise ValueError(
-            f'shape mismatch at {"/".join(path)}: '
-            f'{node[path[-1]].shape} vs {value.shape}')
+    tgt = node[path[-1]]
+    if hasattr(tgt, 'shape') and tuple(tgt.shape) != tuple(value.shape):
+        if np.prod(tgt.shape) == np.prod(value.shape):
+            # same element count, different factoring (e.g. [E, E] →
+            # DenseGeneral [E, h, dh]): row-major reshape is the contract
+            value = value.reshape(tgt.shape)
+        elif strict_shape:
+            raise ValueError(
+                f'shape mismatch at {"/".join(path)}: '
+                f'{tgt.shape} vs {value.shape}')
     node[path[-1]] = value
 
 
@@ -88,8 +126,9 @@ def convert_torch_checkpoint(state_dict, variables: dict,
     from flax.core import unfreeze
     out = unfreeze(jax.tree_util.tree_map(np.asarray, variables))
     converters = dict(conv2d=conv2d_kernel, deconv2d=deconv2d_kernel,
-                      linear=linear_kernel, spconv=sparse_conv_kernel,
-                      raw=_to_np)
+                      linear=linear_kernel, conv1d=conv1d_kernel,
+                      spconv=sparse_conv_kernel, mha_q=mha_q, mha_k=mha_k,
+                      mha_v=mha_v, mha_out=mha_out, raw=_to_np)
     used = set()
     for tname, fpath in mapping.items():
         name, _, tag = tname.partition('|')
