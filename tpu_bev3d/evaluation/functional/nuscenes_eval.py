@@ -1,42 +1,87 @@
-"""Native nuScenes detection evaluation (NDS / mAP / TP metrics).
+"""Native nuScenes detection evaluation (NDS / mAP / TP metrics),
+devkit-fidelity.
 
-Reimplements the nuscenes-devkit DetectionEval algorithm the reference calls
-(ref: projects/BEVFusion/evaluation/functional/nuscenes_utils/eval.py:108-139
-and mmdet3d/evaluation/metrics/nuscenes_metric.py:186) without the devkit:
+Reimplements the nuscenes-devkit DetectionEval algorithm the reference
+delegates to (ref: projects/BEVFusion/evaluation/functional/nuscenes_utils/
+eval.py:118-179 subclasses the devkit's DetectionEval; attribute rules and
+class priors from utils.py:20-226) including the details the round-1
+version missed:
 
-- matching: greedy by confidence, center distance (BEV xy, meters) under
-  thresholds {0.5, 1, 2, 4}
-- AP: precision/recall integrated over recall in [0.1, 1], precisions
-  clipped below 0.1 (devkit's calc_ap)
-- TP metrics at threshold 2.0m over true positives: ATE (xy dist), ASE
-  (1 - 3D IoU of aligned boxes), AOE (yaw diff, period 2π; π for barrier),
-  AVE (velocity L2)
-- NDS = (5·mAP + Σ_tp (1 - min(1, err))) / 10
+- class-range filtering of GT and predictions (detection_cvpr_2019 ranges)
+- GLOBAL confidence ordering across samples during matching
+- 101-point interpolation with precision sliced STRICTLY above
+  min_recall (index 11), per devkit calc_ap
+- TP errors as devkit cummean curves interpolated in confidence space,
+  averaged over [first_ind=11, max_recall_ind] (calc_tp)
+- the 5th TP metric (attribute error) with the reference's
+  velocity-threshold attribute assignment and per-class priors
+- per-class undefined metrics (traffic_cone: attr/vel/orient; barrier:
+  attr/vel; barrier orientation period π) via nanmean
 
 Inputs are plain per-sample numpy dicts, no devkit objects.
 """
 from __future__ import annotations
 
-from typing import Dict, List, Sequence
+from typing import Dict, List, Optional, Sequence
 
 import numpy as np
 
 DIST_THS = (0.5, 1.0, 2.0, 4.0)
 TP_DIST_TH = 2.0
-TP_METRICS = ('trans_err', 'scale_err', 'orient_err', 'vel_err')
+TP_METRICS = ('trans_err', 'scale_err', 'orient_err', 'vel_err',
+              'attr_err')
+MIN_RECALL = 0.1
+MIN_PRECISION = 0.1
+N_INTERP = 101
+MAX_BOXES_PER_SAMPLE = 500
 
-# classes where some TP metrics are undefined (devkit cfg)
-NO_VEL_CLASSES = {'barrier', 'traffic_cone'}
-NO_ORIENT_CLASSES = {'traffic_cone'}
+# detection_cvpr_2019 class ranges (meters from ego)
+CLASS_RANGE = {
+    'car': 50, 'truck': 50, 'bus': 50, 'trailer': 50,
+    'construction_vehicle': 50, 'pedestrian': 40, 'motorcycle': 40,
+    'bicycle': 40, 'traffic_cone': 30, 'barrier': 30,
+}
+
+# devkit: metrics undefined for some classes (set to NaN, skipped in means)
+NAN_METRICS = {
+    'traffic_cone': {'attr_err', 'vel_err', 'orient_err'},
+    'barrier': {'attr_err', 'vel_err'},
+}
 PERIOD_PI_CLASSES = {'barrier'}
 
+ATTRS = ('cycle.with_rider', 'cycle.without_rider', 'pedestrian.moving',
+         'pedestrian.sitting_lying_down', 'pedestrian.standing',
+         'vehicle.moving', 'vehicle.parked', 'vehicle.stopped', '')
 
-def _center_dist(a, b):
-    return np.linalg.norm(a[:, None, :2] - b[None, :, :2], axis=-1)
+# most-frequent attribute per class (ref utils.py:20 cls_attr_dist argmax)
+DEFAULT_ATTR = {
+    'barrier': '', 'traffic_cone': '',
+    'bicycle': 'cycle.without_rider', 'motorcycle': 'cycle.without_rider',
+    'bus': 'vehicle.moving', 'car': 'vehicle.parked',
+    'construction_vehicle': 'vehicle.parked', 'trailer': 'vehicle.parked',
+    'truck': 'vehicle.parked', 'pedestrian': 'pedestrian.moving',
+}
 
 
-def _aligned_iou3d(pred, gt):
-    """Size-only 3D IoU of center-aligned boxes (devkit scale_iou)."""
+def default_attr(class_name: str, velocity) -> str:
+    """Velocity-threshold attribute rule (ref utils.py:156-212)."""
+    speed = float(np.linalg.norm(np.asarray(velocity)[:2]))
+    if speed > 0.2:
+        if class_name in ('car', 'construction_vehicle', 'bus', 'truck',
+                          'trailer'):
+            return 'vehicle.moving'
+        if class_name in ('bicycle', 'motorcycle'):
+            return 'cycle.with_rider'
+    else:
+        if class_name == 'pedestrian':
+            return 'pedestrian.standing'
+        if class_name == 'bus':
+            return 'vehicle.stopped'
+    return DEFAULT_ATTR.get(class_name, '')
+
+
+def _scale_iou(pred, gt):
+    """Size-only 3D IoU of center/yaw-aligned boxes (devkit scale_iou)."""
     mins = np.minimum(pred[3:6], gt[3:6])
     inter = np.prod(mins)
     union = np.prod(pred[3:6]) + np.prod(gt[3:6]) - inter
@@ -44,122 +89,207 @@ def _aligned_iou3d(pred, gt):
 
 
 def _yaw_diff(a, b, period=2 * np.pi):
-    d = (a - b) % period
+    d = abs(a - b) % period
     return min(d, period - d)
+
+
+def _cummean(x):
+    x = np.asarray(x, np.float64)
+    if np.all(np.isnan(x)):
+        return np.ones_like(x)
+    sum_ = np.nancumsum(x)
+    count = np.cumsum(~np.isnan(x))
+    return sum_ / np.maximum(count, 1)
+
+
+def _filter_by_range(boxes, labels, classes, extra=()):
+    """Class-range filter (devkit filter_eval_boxes; ego dist = |xy|)."""
+    if len(boxes) == 0:
+        return (boxes, labels) + tuple(extra)
+    dist = np.linalg.norm(boxes[:, :2], axis=-1)
+    rng = np.array([CLASS_RANGE.get(classes[l], 50) for l in labels])
+    keep = dist < rng
+    return (boxes[keep], labels[keep]) + tuple(e[keep] for e in extra)
 
 
 def accumulate_class(preds: List[dict], gts: List[dict], class_name: str,
                      dist_th: float):
-    """One (class, threshold) accumulation over all samples.
+    """One (class, threshold) accumulation — devkit algo.py accumulate.
 
-    preds/gts: per-sample dicts with 'boxes' [N,9] (x,y,z,dx,dy,dz,yaw,
-    vx,vy), 'scores' [N] (preds only), 'labels' (already filtered to class
-    by caller). Returns dict with sortable match records.
+    preds/gts: per-sample dicts (already class-filtered) with 'boxes'
+    [N, 7 or 9], 'scores' (preds), optional 'attrs' (str arrays).
+    Matching follows the devkit exactly: all predictions of the class are
+    sorted by confidence GLOBALLY (across samples) and greedily matched
+    against unmatched GTs of their own sample by min center distance.
     """
     npos = sum(len(g['boxes']) for g in gts)
-    records = []  # (score, is_tp, trans_err, scale_err, orient_err, vel_err)
-    for pred, gt in zip(preds, gts):
-        pb, ps = pred['boxes'], pred['scores']
-        gb = gt['boxes']
-        taken = np.zeros(len(gb), bool)
-        order = np.argsort(-ps)
-        if len(gb):
-            dist = _center_dist(pb, gb)
-        for i in order:
-            if len(gb) == 0:
-                records.append((ps[i], False, None))
+    # global sort across samples
+    entries = []
+    for si, p in enumerate(preds):
+        for i in range(len(p['boxes'])):
+            entries.append((float(p['scores'][i]), si, i))
+    entries.sort(key=lambda e: -e[0])
+    taken = [np.zeros(len(g['boxes']), bool) for g in gts]
+    tp, fp, conf = [], [], []
+    match = {m: [] for m in TP_METRICS}
+    match['conf'] = []
+    period = np.pi if class_name in PERIOD_PI_CLASSES else 2 * np.pi
+    for score, si, i in entries:
+        pb = preds[si]['boxes'][i]
+        gb = gts[si]['boxes']
+        best_j, best_d = -1, np.inf
+        for j in range(len(gb)):
+            if taken[si][j]:
                 continue
-            d = np.where(taken, np.inf, dist[i])
-            j = int(np.argmin(d))
-            if d[j] < dist_th:
-                taken[j] = True
-                period = np.pi if class_name in PERIOD_PI_CLASSES \
-                    else 2 * np.pi
-                tp_err = dict(
-                    trans_err=float(d[j]),
-                    scale_err=1.0 - _aligned_iou3d(pb[i], gb[j]),
-                    orient_err=float(_yaw_diff(pb[i, 6], gb[j, 6], period)),
-                    vel_err=float(np.linalg.norm(pb[i, 7:9] - gb[j, 7:9]))
-                    if pb.shape[1] > 8 and gb.shape[1] > 8 else 0.0)
-                records.append((ps[i], True, tp_err))
-            else:
-                records.append((ps[i], False, None))
-    return dict(npos=npos, records=records)
-
-
-def calc_ap_and_tp(acc: dict, class_name: str):
-    """devkit calc_ap (min_recall 0.1, min_precision 0.1) + mean TP errors
-    over TPs in the top-scoring prefix up to max recall."""
-    npos = acc['npos']
-    recs = sorted(acc['records'], key=lambda r: -r[0])
-    if npos == 0 or not recs:
-        return 0.0, {m: 1.0 for m in TP_METRICS}
-    tps = np.cumsum([r[1] for r in recs])
-    fps = np.cumsum([not r[1] for r in recs])
-    recall = tps / npos
-    precision = tps / np.maximum(tps + fps, 1)
-    # interpolate over 101 recall points (devkit uses np.interp on 0..1)
-    rec_interp = np.linspace(0, 1, 101)
-    prec = np.interp(rec_interp, recall, precision, right=0)
-    prec = prec[rec_interp >= 0.1]
-    prec = np.maximum(prec - 0.1, 0) / 0.9
-    ap = float(np.mean(prec))
-
-    tp_errs = {m: [] for m in TP_METRICS}
-    for r in recs:
-        if r[1]:
-            for m in TP_METRICS:
-                tp_errs[m].append(r[2][m])
-    mean_errs = {}
-    for m in TP_METRICS:
-        if (m == 'vel_err' and class_name in NO_VEL_CLASSES) or \
-           (m == 'orient_err' and class_name in NO_ORIENT_CLASSES):
-            mean_errs[m] = np.nan
+            d = float(np.linalg.norm(pb[:2] - gb[j, :2]))
+            if d < best_d:
+                best_d, best_j = d, j
+        if best_j >= 0 and best_d < dist_th:
+            taken[si][best_j] = True
+            tp.append(1); fp.append(0); conf.append(score)
+            gt_box = gb[best_j]
+            pvel = pb[7:9] if len(pb) > 8 else np.zeros(2)
+            gvel = gt_box[7:9] if len(gt_box) > 8 else np.zeros(2)
+            pattr = (preds[si]['attrs'][i] if 'attrs' in preds[si]
+                     else default_attr(class_name, pvel))
+            gattr = (gts[si]['attrs'][best_j] if 'attrs' in gts[si]
+                     else default_attr(class_name, gvel))
+            match['trans_err'].append(best_d)
+            match['scale_err'].append(1.0 - _scale_iou(pb, gt_box))
+            match['orient_err'].append(_yaw_diff(pb[6], gt_box[6], period))
+            match['vel_err'].append(float(np.linalg.norm(pvel - gvel)))
+            match['attr_err'].append(1.0 - float(pattr == gattr))
+            match['conf'].append(score)
         else:
-            mean_errs[m] = float(np.mean(tp_errs[m])) if tp_errs[m] else 1.0
-    return ap, mean_errs
+            tp.append(0); fp.append(1); conf.append(score)
+    return dict(npos=npos, tp=tp, fp=fp, conf=conf, match=match)
+
+
+def interp_md(acc: dict):
+    """→ devkit DetectionMetricData: 101-point interpolated curves."""
+    npos = acc['npos']
+    rec_interp = np.linspace(0, 1, N_INTERP)
+    if npos == 0 or len(acc['tp']) == 0 or sum(acc['tp']) == 0:
+        return dict(precision=np.zeros(N_INTERP),
+                    confidence=np.zeros(N_INTERP),
+                    **{m: np.ones(N_INTERP) for m in TP_METRICS})
+    tp = np.cumsum(acc['tp']).astype(np.float64)
+    fp = np.cumsum(acc['fp']).astype(np.float64)
+    conf = np.asarray(acc['conf'], np.float64)
+    rec = tp / npos
+    prec = tp / (tp + fp)
+    precision = np.interp(rec_interp, rec, prec, right=0)
+    confidence = np.interp(rec_interp, rec, conf, right=0)
+    out = dict(precision=precision, confidence=confidence)
+    mconf = np.asarray(acc['match']['conf'], np.float64)
+    for m in TP_METRICS:
+        tmp = _cummean(np.asarray(acc['match'][m], np.float64))
+        # devkit: interpolate the cummean curve in CONFIDENCE space onto
+        # the interpolated confidence grid
+        out[m] = np.interp(confidence[::-1], mconf[::-1], tmp[::-1])[::-1]
+    return out
+
+
+def calc_ap(md) -> float:
+    """devkit calc_ap: slice strictly above min_recall (index 11)."""
+    prec = md['precision'].copy()
+    prec = prec[round(100 * MIN_RECALL) + 1:]
+    prec -= MIN_PRECISION
+    prec[prec < 0] = 0
+    return float(np.mean(prec)) / (1.0 - MIN_PRECISION)
+
+
+def calc_tp(md, metric: str) -> float:
+    """devkit calc_tp: mean over [11, max_recall_ind]."""
+    first_ind = round(100 * MIN_RECALL) + 1
+    nz = np.nonzero(md['confidence'])[0]
+    last_ind = int(nz[-1]) if len(nz) else 0
+    if last_ind < first_ind:
+        return 1.0
+    return float(np.mean(md[metric][first_ind:last_ind + 1]))
 
 
 def nuscenes_eval(predictions: List[dict], ground_truths: List[dict],
-                  classes: Sequence[str]) -> Dict[str, float]:
+                  classes: Sequence[str],
+                  filter_range: bool = True) -> Dict[str, float]:
     """predictions/ground_truths: per-sample dicts with 'boxes' [N,7 or 9],
-    'labels' [N], and (preds) 'scores' [N]. Returns the devkit-style metric
-    dict: per-class AP at each threshold, mAP, TP errors, NDS."""
+    'labels' [N], (preds) 'scores' [N], optional 'attrs' (str array [N]).
+    Returns the devkit-style metric dict: per-class AP at each threshold,
+    mAP, TP errors, 5-term NDS."""
+    # ---- filtering (devkit filter_eval_boxes) ----
+    fpred, fgt = [], []
+    for p in predictions:
+        b, l, s = p['boxes'], p['labels'], p['scores']
+        if len(b) > MAX_BOXES_PER_SAMPLE:
+            order = np.argsort(-s)[:MAX_BOXES_PER_SAMPLE]
+            b, l, s = b[order], l[order], s[order]
+        extra = [s] + ([p['attrs']] if 'attrs' in p else [])
+        if filter_range:
+            res = _filter_by_range(b, l, classes, extra)
+        else:
+            res = (b, l) + tuple(extra)
+        d = dict(boxes=res[0], labels=res[1], scores=res[2])
+        if 'attrs' in p:
+            d['attrs'] = res[3]
+        fpred.append(d)
+    for g in ground_truths:
+        b, l = g['boxes'], g['labels']
+        extra = [g['attrs']] if 'attrs' in g else []
+        if filter_range:
+            res = _filter_by_range(b, l, classes, extra)
+        else:
+            res = (b, l) + tuple(extra)
+        d = dict(boxes=res[0], labels=res[1])
+        if 'attrs' in g:
+            d['attrs'] = res[2]
+        fgt.append(d)
+
     out = {}
     aps = []
-    tp_sums = {m: [] for m in TP_METRICS}
+    class_tp = {m: [] for m in TP_METRICS}
     for ci, cname in enumerate(classes):
-        cp = [dict(boxes=p['boxes'][p['labels'] == ci],
-                   scores=p['scores'][p['labels'] == ci])
-              for p in predictions]
-        cg = [dict(boxes=g['boxes'][g['labels'] == ci])
-              for g in ground_truths]
+        cp = []
+        for p in fpred:
+            sel = p['labels'] == ci
+            d = dict(boxes=p['boxes'][sel], scores=p['scores'][sel])
+            if 'attrs' in p:
+                d['attrs'] = p['attrs'][sel]
+            cp.append(d)
+        cg = []
+        for g in fgt:
+            sel = g['labels'] == ci
+            d = dict(boxes=g['boxes'][sel])
+            if 'attrs' in g:
+                d['attrs'] = g['attrs'][sel]
+            cg.append(d)
         if sum(len(g['boxes']) for g in cg) == 0:
-            # class absent from GT: undefined AP, excluded from the mean
-            # (devkit behavior for missing classes)
+            # class absent from GT: undefined, excluded from means
             continue
         class_aps = []
         for th in DIST_THS:
-            acc = accumulate_class(cp, cg, cname, th)
-            ap, errs = calc_ap_and_tp(acc, cname)
+            md = interp_md(accumulate_class(cp, cg, cname, th))
+            ap = calc_ap(md)
             class_aps.append(ap)
             out[f'{cname}_AP_dist_{th}'] = ap
             if th == TP_DIST_TH:
                 for m in TP_METRICS:
-                    out[f'{cname}_{m}'] = errs[m]
-                    if not np.isnan(errs[m]):
-                        tp_sums[m].append(errs[m])
+                    if m in NAN_METRICS.get(cname, ()):
+                        out[f'{cname}_{m}'] = float('nan')
+                        class_tp[m].append(np.nan)
+                    else:
+                        e = calc_tp(md, m)
+                        out[f'{cname}_{m}'] = e
+                        class_tp[m].append(e)
         out[f'{cname}_AP'] = float(np.mean(class_aps))
         aps.append(np.mean(class_aps))
     mAP = float(np.mean(aps)) if aps else 0.0
     out['mAP'] = mAP
     tp_score = 0.0
     for m in TP_METRICS:
-        err = float(np.mean(tp_sums[m])) if tp_sums[m] else 1.0
+        vals = [v for v in class_tp[m] if not np.isnan(v)]
+        err = float(np.mean(vals)) if vals else 1.0
         out[f'm{m}'] = err
         tp_score += max(0.0, 1.0 - min(1.0, err))
-    # NDS over 4 TP metrics (devkit has 5 incl. attr_err; without attribute
-    # predictions we follow the reference's custom eval which drops it —
-    # projects/BEVFusion/evaluation .. NuScenesCustomMetric)
-    out['NDS'] = float((5 * mAP + tp_score) / (5 + len(TP_METRICS)))
+    # devkit NDS: 5 TP metrics, mAP weight 5 → /10
+    out['NDS'] = float((5 * mAP + tp_score) / 10.0)
     return out

@@ -44,6 +44,11 @@ class BaseLSS(nn.Module):
     zbound: Sequence[float] = (-10.0, 10.0, 20.0)
     dbound: Sequence[float] = (1.0, 60.0, 0.5)
     downsample: int = 1
+    # TPU throughput option: lift only the top-k depth bins per pixel
+    # (softmax depth is sharply peaked; k=0 disables = exact reference
+    # semantics). Cuts the BEV scatter rows D/k-fold — the pool scatter is
+    # the view transform's dominant cost on TPU (tools/profile_blocks.py).
+    depth_topk: int = 0
 
     @property
     def D(self):
@@ -108,9 +113,28 @@ class BaseLSS(nn.Module):
         feature dtype (bf16 halves it) with f32 scatter accumulation.
         """
         depth = jax.nn.softmax(depth_logits.astype(jnp.float32), axis=-1)
+        nx, ny, nz = self.bev_shape
+        if 0 < self.depth_topk < self.D:
+            # sparsified lift: keep the k most likely depth bins per pixel
+            k = self.depth_topk
+            topv, topi = jax.lax.top_k(depth, k)        # [B,N,fH,fW,k]
+            # renormalize so the kept mass still sums to 1
+            topv = topv / jnp.maximum(
+                jnp.sum(topv, -1, keepdims=True), 1e-6)
+            frustum_feats = topv[..., None].astype(feats.dtype) \
+                * feats[..., None, :]                   # [B,N,fH,fW,k,C]
+            # gather the matching geometry rows: geom is [B,N,D,fH,fW,3]
+            g = jnp.transpose(geom, (0, 1, 3, 4, 2, 5))  # [B,N,fH,fW,D,3]
+            g = jnp.take_along_axis(g, topi[..., None], axis=4)
+            return jnp.transpose(bev_pool(
+                frustum_feats, g,
+                bev_start=(self.xbound[0], self.ybound[0], self.zbound[0]),
+                bev_interval=(self.xbound[2], self.ybound[2],
+                              self.zbound[2]),
+                bev_shape=(nx, ny, nz),
+                accum_dtype=jnp.float32), (0, 2, 3, 1))
         frustum_feats = jnp.einsum('bnhwd,bnhwc->bndhwc',
                                    depth.astype(feats.dtype), feats)
-        nx, ny, nz = self.bev_shape
         out = bev_pool(
             frustum_feats, geom,
             bev_start=(self.xbound[0], self.ybound[0], self.zbound[0]),
