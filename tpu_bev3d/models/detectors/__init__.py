@@ -6,9 +6,10 @@ from .votenet import VoteNet
 from .fcos_mono3d import FCOSMono3D
 from .stream_petr import StreamPETR, StreamPETRHead
 from .two_stage import TwoStage3DDetector
+from .parta2 import PartA2
 from .sassd import SASSD
 from .imvoxelnet import ImVoxelNet
 from .mvxnet import MVXNet, PointFusion
 
 __all__ = ['VoxelNet', 'DynamicVoxelNet', 'CenterPoint', 'BEVFusion',
-           'ConvFuser', 'PETR', 'VoteNet', 'FCOSMono3D', 'StreamPETR', 'StreamPETRHead', 'TwoStage3DDetector', 'SASSD', 'ImVoxelNet', 'MVXNet', 'PointFusion']
+           'ConvFuser', 'PETR', 'VoteNet', 'FCOSMono3D', 'StreamPETR', 'StreamPETRHead', 'TwoStage3DDetector', 'PartA2', 'SASSD', 'ImVoxelNet', 'MVXNet', 'PointFusion']

@@ -2,6 +2,7 @@ from .pillar_scatter import PointPillarsScatter
 from .sparse_encoder import SparseEncoder, BEVFusionSparseEncoder
 from .dense_encoder import DenseVoxelEncoder
 from .bev_column_encoder import BEVColumnEncoder
+from .sparse_unet import SparseUNet
 
 __all__ = ['PointPillarsScatter', 'SparseEncoder', 'BEVFusionSparseEncoder',
-           'DenseVoxelEncoder', 'BEVColumnEncoder']
+           'DenseVoxelEncoder', 'BEVColumnEncoder', 'SparseUNet']

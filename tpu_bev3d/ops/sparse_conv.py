@@ -228,6 +228,50 @@ def sparse_conv3d(st: SparseTensor, weight, bias=None, kernel_size=3,
                         out_shape, st.batch_size)
 
 
+def sparse_inverse_conv3d(st: SparseTensor, target_coords, target_valid,
+                          target_shape, weight, bias=None, kernel_size=3,
+                          stride=2, padding=1):
+    """Inverse (transposed) sparse conv onto a KNOWN target coord table
+    (ref spconv SparseInverseConv3d — restores the pre-downsample site set
+    using the paired forward conv's geometry).
+
+    For fine target site t and kernel offset ``off``, the contributing
+    coarse site is s = (t + pad - off) / stride when the division is
+    exact: out[t] = Σ_off W[off] · in[s(t, off)]. weight [K³, Cin, Cout].
+    """
+    ks = np.broadcast_to(np.asarray(kernel_size), (3,))
+    strd = np.broadcast_to(np.asarray(stride), (3,))
+    pad = np.broadcast_to(np.asarray(padding), (3,))
+    N = st.coords.shape[0]
+    lin_in, _ = _linearize(st.coords, st.spatial_shape, st.batch_size)
+    in_order = jnp.argsort(lin_in)
+    lin_in_sorted = lin_in[in_order]
+    offs = jnp.asarray(_offsets(kernel_size), jnp.int32)     # [K, 3]
+    pad_j = jnp.asarray(pad, jnp.int32)
+    strd_j = jnp.asarray(strd, jnp.int32)
+
+    def per_offset(off):
+        num = target_coords[:, 1:] + pad_j - off
+        exact = jnp.all(num % strd_j == 0, -1)
+        s_sp = num // strd_j
+        ok = exact & target_valid \
+            & jnp.all((s_sp >= 0)
+                      & (s_sp < jnp.asarray(st.spatial_shape)), -1)
+        q = jnp.concatenate([target_coords[:, :1], s_sp], -1)
+        q = jnp.where(ok[:, None], q, -1)
+        idx, found = _lookup(q, ok, lin_in_sorted, in_order,
+                             st.spatial_shape, st.batch_size, N)
+        return idx, found & ok
+
+    idx_all, found_all = jax.vmap(per_offset)(offs)
+    out = _gather_gemm(st.features, idx_all, found_all, weight)
+    if bias is not None:
+        out = out + bias
+    out = jnp.where(target_valid[:, None], out, 0.0)
+    return SparseTensor(out.astype(st.features.dtype), target_coords,
+                        tuple(target_shape), st.batch_size)
+
+
 @partial(jax.jit, static_argnames=('axis', 'eps'))
 def sparse_batch_norm_stats(features, valid, axis=0, eps=1e-5):
     """Masked mean/var over valid rows (BN over active voxels only, matching
