@@ -350,7 +350,9 @@ def eval_class(preds: List[dict], gts: List[dict], class_name: str,
         all_scores.extend(th)
     thresholds = get_thresholds(np.asarray(all_scores), total_valid)
     if not thresholds:
-        return None
+        # GT exists but no detection ever matched: AP is defined and zero
+        return dict(precision=np.zeros(N_SAMPLE_PTS),
+                    aos=np.zeros(N_SAMPLE_PTS))
     pr = np.zeros((len(thresholds), 4))
     for ov, gt_part, dt, ig_gt_part, ig_dt, dc, dc_ov in frames:
         for t, th in enumerate(thresholds):

@@ -7,6 +7,7 @@ from .fcos_mono3d_head import FCOSMono3DHead
 from .fcaf3d_head import FCAF3DHead, MinkSingleStage3DDetector
 from .smoke_head import SMOKEMono3DHead, SMOKEMono3D
 from .free_anchor3d_head import FreeAnchor3DHead
+from .point_rpn_head import PointRPNHead
 
 __all__ = ['Anchor3DHead', 'CenterHead', 'SeparateHead', 'BEVFusionHead',
-           'PETRHead', 'VoteHead', 'FCOSMono3DHead', 'FCAF3DHead', 'MinkSingleStage3DDetector', 'SMOKEMono3DHead', 'SMOKEMono3D', 'FreeAnchor3DHead']
+           'PETRHead', 'VoteHead', 'FCOSMono3DHead', 'FCAF3DHead', 'MinkSingleStage3DDetector', 'SMOKEMono3DHead', 'SMOKEMono3D', 'FreeAnchor3DHead', 'PointRPNHead']

@@ -7,9 +7,11 @@ from .fcos_mono3d import FCOSMono3D
 from .stream_petr import StreamPETR, StreamPETRHead
 from .two_stage import TwoStage3DDetector
 from .parta2 import PartA2
+from .point_rcnn import PointRCNN
+from .pv_rcnn import PVRCNN
 from .sassd import SASSD
 from .imvoxelnet import ImVoxelNet
 from .mvxnet import MVXNet, PointFusion
 
 __all__ = ['VoxelNet', 'DynamicVoxelNet', 'CenterPoint', 'BEVFusion',
-           'ConvFuser', 'PETR', 'VoteNet', 'FCOSMono3D', 'StreamPETR', 'StreamPETRHead', 'TwoStage3DDetector', 'PartA2', 'SASSD', 'ImVoxelNet', 'MVXNet', 'PointFusion']
+           'ConvFuser', 'PETR', 'VoteNet', 'FCOSMono3D', 'StreamPETR', 'StreamPETRHead', 'TwoStage3DDetector', 'PartA2', 'PointRCNN', 'PVRCNN', 'SASSD', 'ImVoxelNet', 'MVXNet', 'PointFusion']

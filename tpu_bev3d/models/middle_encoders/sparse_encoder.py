@@ -81,6 +81,7 @@ class SparseEncoder(nn.Module):
     conv_out_kernel: Tuple[int, int, int] = (3, 1, 1)
     xy_order: bool = False  # BEVFusion variant emits [B, x, y, C]
     conv_out_stride: Tuple[int, int, int] = (2, 1, 1)
+    return_middle_feats: bool = False  # also return per-stage tensors (PV-RCNN)
 
     @nn.compact
     def __call__(self, voxel_features, coors, batch_size: int,
@@ -96,6 +97,7 @@ class SparseEncoder(nn.Module):
                              name='conv_input')(st, train, rulebook=rb)
         cap = voxel_features.shape[0]
         n_stages = len(self.encoder_channels)
+        encode_features = []
         for i, stage in enumerate(self.encoder_channels):
             for j, ch in enumerate(stage):
                 pad = self.encoder_paddings[i][j]
@@ -113,6 +115,7 @@ class SparseEncoder(nn.Module):
                     st = SparseConvLayer(
                         ch, 3, subm=True,
                         name=f'encoder_{i}_{j}')(st, train, rulebook=rb)
+            encode_features.append(st)
         st = SparseConvLayer(self.output_channels,
                              self.conv_out_kernel, self.conv_out_stride,
                              padding=0, subm=False, out_capacity=cap,
@@ -124,8 +127,12 @@ class SparseEncoder(nn.Module):
             # BEVFusion's encoder is xy-order (rows = x bins), ref
             # projects/BEVFusion/bevfusion/sparse_encoder.py — matches the
             # camera bev_pool layout for fusion
-            return jnp.transpose(out, (0, 3, 2, 1))  # [B, x, y, C·D]
-        return jnp.transpose(out, (0, 2, 3, 1))  # NHWC [B, y, x, C·D]
+            bev = jnp.transpose(out, (0, 3, 2, 1))  # [B, x, y, C·D]
+        else:
+            bev = jnp.transpose(out, (0, 2, 3, 1))  # NHWC [B, y, x, C·D]
+        if self.return_middle_feats:
+            return bev, encode_features
+        return bev
 
 
 @MODELS.register_module()
