@@ -50,3 +50,36 @@ def test_depth_topk_approximates_dense(k, tol):
     assert a.shape == b.shape
     denom = max(1e-6, float(np.abs(b).max()))
     assert np.max(np.abs(a - b)) / denom < tol
+
+
+def test_precomputed_ranks_match_dynamic_geometry():
+    """Deploy fast path: pooling with precomputed flat ranks must equal
+    the dynamic-geometry path exactly (depth_topk=0)."""
+    B, N = 1, 2
+    rng = np.random.RandomState(7)
+    img = rng.randn(B, N, 8, 22, 16).astype(np.float32)
+    cam = _cam_params(B, N, rng)
+    m = _build(0)
+    variables = m.init(jax.random.PRNGKey(0), jnp.asarray(img), cam)
+    out_dyn, _ = m.apply(variables, jnp.asarray(img), cam)
+    ranks = m.precompute_bev_ranks(cam)
+    cam2 = dict(cam, geom_ranks=ranks)
+    out_pre, _ = m.apply(variables, jnp.asarray(img), cam2)
+    np.testing.assert_allclose(np.asarray(out_pre), np.asarray(out_dyn),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_camera_mask_zeroes_missing_camera():
+    B, N = 1, 2
+    rng = np.random.RandomState(8)
+    img = rng.randn(B, N, 8, 22, 16).astype(np.float32)
+    cam = _cam_params(B, N, rng)
+    m = _build(0)
+    variables = m.init(jax.random.PRNGKey(0), jnp.asarray(img), cam)
+    cam_all = dict(cam, camera_mask=jnp.ones((B, N)))
+    cam_one = dict(cam, camera_mask=jnp.asarray([[1.0, 0.0]]))
+    out_all, _ = m.apply(variables, jnp.asarray(img), cam_all)
+    out_one, _ = m.apply(variables, jnp.asarray(img), cam_one)
+    # dropping camera 1 must change the pooled BEV but keep it finite
+    assert not np.allclose(np.asarray(out_all), np.asarray(out_one))
+    assert np.isfinite(np.asarray(out_one)).all()

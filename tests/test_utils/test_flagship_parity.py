@@ -177,6 +177,90 @@ def test_depth_lss_forward_parity():
            name='bev out')
 
 
+def test_full_bevfusion_mapping_resolves_and_runs():
+    """Composed flagship table: every entry resolves into the real
+    variable tree of a (tiny) BEVFusion L+C with the sparse encoder, and
+    the converted model still runs predict."""
+    import jax.numpy as jnp
+    from tpu_bev3d.config import Config
+    from tpu_bev3d.testing import (build_detector_from_cfg,
+                                   create_multimodal_inputs)
+    from tpu_bev3d.utils.mappings import bevfusion_mapping
+
+    cfg = Config.fromfile(
+        'configs/bevfusion/bevfusion_lidar_cam_voxel0075_second_secfpn_nus'
+        '.py')
+    m = cfg.model
+    m.voxel_size = [0.5625, 0.5625, 0.2]
+    m.max_voxels = 256
+    m.middle_encoder.sparse_shape = [41, 192, 192]
+    m.bbox_head.num_proposals = 16
+    m.view_transform.image_size = [64, 176]
+    m.view_transform.feature_size = [8, 22]
+    m.view_transform.xbound = [-54.0, 54.0, 2.25]
+    m.view_transform.ybound = [-54.0, 54.0, 2.25]
+    m.view_transform.dbound = [1.0, 25.0, 1.0]
+    m.bbox_head.voxel_size = [0.5625, 0.5625, 0.2]
+    model = build_detector_from_cfg(m)
+    batch = create_multimodal_inputs(
+        batch_size=1, num_points=512, point_dim=5, num_gt=4,
+        num_classes=10, image_size=(64, 176),
+        pc_range=tuple(cfg.point_cloud_range), with_velocity=True)
+    batch = {k: jnp.asarray(v) for k, v in batch.items()}
+    variables = model.init(jax.random.PRNGKey(0), batch, mode='tensor')
+
+    mapping = bevfusion_mapping(m)
+    assert len(mapping) > 450
+    sd = _synth_torch_state(mapping, variables)
+    out = convert_torch_checkpoint(sd, variables, mapping, verbose=False)
+    preds = model.apply(
+        {'params': out['params'], 'batch_stats': out['batch_stats']},
+        batch, mode='predict')
+    assert np.all(np.isfinite(np.asarray(preds['bboxes'])))
+
+
+def _synth_torch_state(mapping, variables):
+    """Invert the converters to fabricate correctly-shaped torch tensors
+    for every mapping entry (covers conv2d/deconv2d/linear/conv1d/spconv/
+    mha_* tags)."""
+    sd = {}
+    for tname, fpath in mapping.items():
+        name, _, tag = tname.partition('|')
+        if name in sd:
+            continue
+        node = variables
+        for p in fpath:
+            node = node[p]
+        shp = tuple(node.shape)
+        if tag == 'conv2d':
+            t = torch.randn(shp[3], shp[2], shp[0], shp[1])
+        elif tag == 'deconv2d':
+            t = torch.randn(shp[2], shp[3], shp[0], shp[1])
+        elif tag in ('linear', 'conv1d'):
+            t = torch.randn(shp[1], shp[0])
+            if tag == 'conv1d':
+                t = t[..., None]
+        elif tag == 'spconv':
+            K, I, O = shp
+            kz, ky, kx = (3, 3, 3) if K == 27 else (3, 1, 1)
+            t = torch.randn(O, kz, ky, kx, I) * 0.05
+        elif tag in ('mha_q', 'mha_k', 'mha_v'):
+            if len(shp) == 3:   # kernel [E, h, dh]
+                E = shp[0]
+                t = torch.randn(3 * E, E) * 0.05
+            else:               # bias [h, dh]
+                t = torch.randn(3 * int(np.prod(shp))) * 0.05
+        elif tag == 'mha_out':
+            E = shp[-1]
+            t = torch.randn(E, E) * 0.05
+        elif name.endswith('running_var'):
+            t = torch.rand(*shp) + 0.5
+        else:
+            t = torch.randn(*shp) * 0.1
+        sd[name] = t
+    return sd
+
+
 def test_transfusion_head_forward_parity():
     from tests.torch_refs.bevfusion_ref import TransFusionHeadRef
     from tpu_bev3d.models.dense_heads.transfusion_head import BEVFusionHead

@@ -101,7 +101,8 @@ class BEVFusion(nn.Module):
         f = f.reshape(B, N, fh, fw, fc)
         cam_params = {k: batch[k] for k in
                       ('cam2lidar', 'intrins', 'post_rots', 'post_trans',
-                       'lidar2img') if k in batch}
+                       'lidar2img', 'geom_ranks', 'camera_mask')
+                      if k in batch}
         if 'lidar_aug' in batch:
             cam_params['lidar_aug'] = batch['lidar_aug']
         bev_img, depth_logits = self._view_transform(

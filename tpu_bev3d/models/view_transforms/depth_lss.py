@@ -24,7 +24,8 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
-from ...ops.bev_pool import bev_pool
+from ...ops.bev_pool import (bev_pool, bev_pool_from_ranks,
+                             compute_flat_ranks)
 from ...registry import MODELS
 from ..layers.common import ConvBNAct
 
@@ -101,7 +102,22 @@ class BaseLSS(nn.Module):
                 + lidar_aug[:, None, None, None, None, :3, 3]
         return pts
 
-    def lift_and_pool(self, depth_logits, feats, geom):
+    def precompute_bev_ranks(self, cam_params):
+        """Deploy fast path (ref depth_lss.py:249-252,455-476): geometry
+        depends only on the camera rig → precompute the flat BEV ranks
+        once and feed them as batch input 'geom_ranks'. Parameter-free —
+        callable on an unbound module instance."""
+        geom = self.get_geometry(
+            cam_params['cam2lidar'], cam_params['intrins'],
+            cam_params['post_rots'], cam_params['post_trans'],
+            cam_params.get('lidar_aug'))
+        nx, ny, nz = self.bev_shape
+        return compute_flat_ranks(
+            geom, (self.xbound[0], self.ybound[0], self.zbound[0]),
+            (self.xbound[2], self.ybound[2], self.zbound[2]),
+            (nx, ny, nz))
+
+    def lift_and_pool(self, depth_logits, feats, geom, geom_ranks=None):
         """softmax(depth) ⊗ feats → bev_pool.
 
         depth_logits [B,N,fH,fW,D]; feats [B,N,fH,fW,C];
@@ -135,12 +151,19 @@ class BaseLSS(nn.Module):
                 accum_dtype=jnp.float32), (0, 2, 3, 1))
         frustum_feats = jnp.einsum('bnhwd,bnhwc->bndhwc',
                                    depth.astype(feats.dtype), feats)
-        out = bev_pool(
-            frustum_feats, geom,
-            bev_start=(self.xbound[0], self.ybound[0], self.zbound[0]),
-            bev_interval=(self.xbound[2], self.ybound[2], self.zbound[2]),
-            bev_shape=(nx, ny, nz),
-            accum_dtype=jnp.float32)                      # [B, nz*C, nx, ny]
+        if geom_ranks is not None:
+            # deploy fast path: geometry precomputed host-side
+            out = bev_pool_from_ranks(frustum_feats, geom_ranks,
+                                      bev_shape=(nx, ny, nz),
+                                      accum_dtype=jnp.float32)
+        else:
+            out = bev_pool(
+                frustum_feats, geom,
+                bev_start=(self.xbound[0], self.ybound[0], self.zbound[0]),
+                bev_interval=(self.xbound[2], self.ybound[2],
+                              self.zbound[2]),
+                bev_shape=(nx, ny, nz),
+                accum_dtype=jnp.float32)                  # [B, nz*C, nx, ny]
         return jnp.transpose(out, (0, 2, 3, 1))           # NHWC xy-order
 
 
@@ -200,11 +223,18 @@ class LSSTransform(BaseLSS):
         x = x.reshape(B, N, fH, fW, -1)
         depth_logits = x[..., :self.D]
         feats = x[..., self.D:]
-        geom = self.get_geometry(
+        if 'camera_mask' in cam_params:
+            # deploy camera dropout (ref depth_lss.py:470-476): missing
+            # cameras contribute zero features to the pool
+            feats = feats * cam_params['camera_mask'][
+                :, :, None, None, None].astype(feats.dtype)
+        geom_ranks = cam_params.get('geom_ranks')
+        geom = None if geom_ranks is not None else self.get_geometry(
             cam_params['cam2lidar'], cam_params['intrins'],
             cam_params['post_rots'], cam_params['post_trans'],
             cam_params.get('lidar_aug'))
-        out = self.lift_and_pool(depth_logits, feats, geom)
+        out = self.lift_and_pool(depth_logits, feats, geom,
+                                 geom_ranks=geom_ranks)
         out = out.astype(img_feats.dtype)  # leave the fp32 island
         if self.downsample > 1:
             out = ConvBNAct(out.shape[-1], 3, padding=1, bn_eps=1e-5,
@@ -251,11 +281,16 @@ class DepthLSSTransform(BaseLSS):
         x = x.reshape(B, N, fH, fW, -1)
         depth_logits = x[..., :self.D]
         feats = x[..., self.D:]
-        geom = self.get_geometry(
+        if 'camera_mask' in cam_params:
+            feats = feats * cam_params['camera_mask'][
+                :, :, None, None, None].astype(feats.dtype)
+        geom_ranks = cam_params.get('geom_ranks')
+        geom = None if geom_ranks is not None else self.get_geometry(
             cam_params['cam2lidar'], cam_params['intrins'],
             cam_params['post_rots'], cam_params['post_trans'],
             cam_params.get('lidar_aug'))
-        out = self.lift_and_pool(depth_logits, feats, geom)
+        out = self.lift_and_pool(depth_logits, feats, geom,
+                                 geom_ranks=geom_ranks)
         out = out.astype(img_feats.dtype)  # leave the fp32 island
         if self.downsample > 1:
             c = out.shape[-1]

@@ -47,6 +47,41 @@ def bev_pool_ranks(geom, bev_start, bev_interval, bev_shape):
     return c, valid
 
 
+@partial(jax.jit, static_argnames=('bev_shape', 'accum_dtype'))
+def bev_pool_from_ranks(feats, ranks, *, bev_shape: Tuple[int, int, int],
+                        accum_dtype=None):
+    """Pool with PRECOMPUTED flat ranks (the deploy fast path, ref
+    depth_lss.py:249-252,455-476 geom_feats_precomputed): geometry is a
+    pure function of the camera rig, so inference can skip the frustum
+    math entirely. ranks [B, P] int32 in [0, nz·nx·ny] (== nz·nx·ny →
+    dropped), produced by ``precompute_bev_ranks``.
+    Returns [B, nz*C, nx, ny] like ``bev_pool``."""
+    B = feats.shape[0]
+    C = feats.shape[-1]
+    nx, ny, nz = bev_shape
+    acc = accum_dtype or feats.dtype
+    f = feats.reshape(B, -1, C)
+
+    def pool_one(fi, ri):
+        out = jnp.zeros((nz * nx * ny, C), acc)
+        return out.at[ri].add(fi.astype(acc), mode='drop')
+
+    out = jax.vmap(pool_one)(f, ranks)
+    out = out.reshape(B, nz, nx, ny, C)
+    return jnp.transpose(out, (0, 1, 4, 2, 3)).reshape(B, nz * C, nx, ny)
+
+
+def compute_flat_ranks(geom, bev_start, bev_interval, bev_shape):
+    """geom [B, ..., 3] → flat ranks [B, P] for bev_pool_from_ranks."""
+    nx, ny, nz = bev_shape
+    coords, valid = bev_pool_ranks(geom, bev_start, bev_interval, bev_shape)
+    B = geom.shape[0]
+    cc = coords.reshape(B, -1, 3)
+    vv = valid.reshape(B, -1)
+    rank = (cc[..., 2] * (nx * ny) + cc[..., 0] * ny + cc[..., 1])
+    return jnp.where(vv, rank, nz * nx * ny)
+
+
 @partial(jax.jit, static_argnames=('bev_start', 'bev_interval', 'bev_shape',
                                    'accum_dtype'))
 def bev_pool(feats, geom, *, bev_start: Tuple[float, float, float],

@@ -276,6 +276,68 @@ def transfusion_head_mapping(prefix: str = 'bbox_head.',
     return m
 
 
+def _spconv_bn(torch_seq: str, flax_path: Tuple[str, ...]
+               ) -> Dict[str, Tuple[str, ...]]:
+    """make_sparse_convmodule block: SparseSequential(conv, BN1d, ReLU) →
+    SparseConvLayer (kernel + MaskedBatchNorm_0)."""
+    return {
+        f'{torch_seq}.0.weight|spconv':
+            ('params',) + flax_path + ('kernel',),
+        f'{torch_seq}.1.weight':
+            ('params',) + flax_path + ('MaskedBatchNorm_0', 'scale'),
+        f'{torch_seq}.1.bias':
+            ('params',) + flax_path + ('MaskedBatchNorm_0', 'bias'),
+        f'{torch_seq}.1.running_mean':
+            ('batch_stats',) + flax_path + ('MaskedBatchNorm_0', 'mean'),
+        f'{torch_seq}.1.running_var':
+            ('batch_stats',) + flax_path + ('MaskedBatchNorm_0', 'var'),
+    }
+
+
+def sparse_encoder_mapping(encoder_channels,
+                           prefix: str = 'pts_middle_encoder.',
+                           flax_prefix: Tuple[str, ...] = (
+                               '_middle_encoder',)
+                           ) -> Dict[str, Tuple[str, ...]]:
+    """(BEVFusion)SparseEncoder: conv_input / encoder_layers.
+    encoder_layer{i+1}.{j} / conv_out (ref mmdet3d sparse_encoder.py
+    make_encoder_layers + projects/BEVFusion/bevfusion/sparse_encoder.py;
+    weight layout shim ref write_spconv2.py)."""
+    P, F = prefix, flax_prefix
+    m = dict(_spconv_bn(f'{P}conv_input', F + ('conv_input',)))
+    for i, stage in enumerate(encoder_channels):
+        for j in range(len(stage)):
+            m.update(_spconv_bn(
+                f'{P}encoder_layers.encoder_layer{i + 1}.{j}',
+                F + (f'encoder_{i}_{j}',)))
+    m.update(_spconv_bn(f'{P}conv_out', F + ('conv_out',)))
+    return m
+
+
+def bevfusion_mapping(model_cfg: dict) -> Dict[str, Tuple[str, ...]]:
+    """Composed mapping for the full BEVFusion L+C flagship chain
+    (every block's table is individually forward-verified in
+    tests/test_utils/test_flagship_parity.py)."""
+    m: Dict[str, Tuple[str, ...]] = {}
+    m.update(swin_mapping())
+    m.update(lss_fpn_mapping(
+        num_ins=len(model_cfg['img_neck']['in_channels'])))
+    m.update(depth_lss_mapping(
+        downsample=model_cfg['view_transform'].get('downsample', 2)))
+    m.update(convfuser_mapping())
+    m.update(sparse_encoder_mapping(
+        model_cfg['middle_encoder'].get(
+            'encoder_channels',
+            ((16, 16, 32), (32, 32, 64), (64, 64, 128), (128, 128))),
+        prefix='pts_middle_encoder.'))
+    m.update(second_mapping(list(model_cfg['backbone']['layer_nums']),
+                            prefix='pts_backbone.'))
+    m.update(secondfpn_mapping(
+        list(model_cfg['neck']['upsample_strides']), prefix='pts_neck.'))
+    m.update(transfusion_head_mapping())
+    return m
+
+
 def pointpillars_mapping(model_cfg: dict) -> Dict[str, Tuple[str, ...]]:
     """Mapping for the VoxelNet/PointPillars family (ref state_dict names:
     voxel_encoder.pfn_layers.N.{linear,norm}, backbone.blocks.S.I
