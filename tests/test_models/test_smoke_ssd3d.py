@@ -46,10 +46,12 @@ def test_smoke_mono3d():
 
 
 def test_ssd3d_config():
+    """Real 3DSSD: fusion-sampled MSG backbone + SSD3DHead candidates
+    with centerness targets + corner loss."""
     cfg = Config.fromfile('configs/ssd3d/ssd3d_kitti.py')
     m = cfg.model
     m.backbone.num_points = (64, 32, 16)
-    m.bbox_head.num_proposals = 8
+    m.bbox_head.num_candidates = 16
     m.bbox_head.max_num = 8
     model = build_detector_from_cfg(m)
     batch = create_detector_inputs(batch_size=1, num_points=128, num_gt=3,
@@ -57,6 +59,8 @@ def test_ssd3d_config():
     batch = {k: jnp.asarray(v) for k, v in batch.items()}
     variables = model.init(jax.random.PRNGKey(0), batch, mode='tensor')
     losses = model.apply(variables, batch, mode='loss')
+    assert {'centerness_loss', 'center_loss', 'corner_loss',
+            'vote_loss'} <= set(losses)
     for k, v in losses.items():
         assert np.isfinite(float(v)), k
     preds = model.apply(variables, batch, mode='predict')

@@ -8,6 +8,8 @@ from .fcaf3d_head import FCAF3DHead, MinkSingleStage3DDetector
 from .smoke_head import SMOKEMono3DHead, SMOKEMono3D
 from .free_anchor3d_head import FreeAnchor3DHead
 from .point_rpn_head import PointRPNHead
+from .ssd_3d_head import SSD3DHead
+from .shape_aware_head import ShapeAwareHead
 
 __all__ = ['Anchor3DHead', 'CenterHead', 'SeparateHead', 'BEVFusionHead',
-           'PETRHead', 'VoteHead', 'FCOSMono3DHead', 'FCAF3DHead', 'MinkSingleStage3DDetector', 'SMOKEMono3DHead', 'SMOKEMono3D', 'FreeAnchor3DHead', 'PointRPNHead']
+           'PETRHead', 'VoteHead', 'FCOSMono3DHead', 'FCAF3DHead', 'MinkSingleStage3DDetector', 'SMOKEMono3DHead', 'SMOKEMono3D', 'FreeAnchor3DHead', 'PointRPNHead', 'SSD3DHead', 'ShapeAwareHead']

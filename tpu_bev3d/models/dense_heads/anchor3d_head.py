@@ -106,17 +106,21 @@ class Anchor3DHead(nn.Module):
         bbox_pred = bbox_pred.reshape(B, A, self.box_code_size)
         if dir_pred is not None:
             dir_pred = dir_pred.reshape(B, A, 2)
+        class_agnostic = len(self._gen.sizes) != self.num_classes
+        return self.loss_from_flat(cls_score, bbox_pred, dir_pred, anchors,
+                                   anchor_cls, class_agnostic,
+                                   gt_bboxes, gt_labels, gt_mask)
 
+    def loss_from_flat(self, cls_score, bbox_pred, dir_pred, anchors,
+                       anchor_cls, class_agnostic, gt_bboxes, gt_labels,
+                       gt_mask):
+        """Anchor loss over FLAT per-anchor predictions [B, A, ·] —
+        shared by Anchor3DHead (NHWC maps) and ShapeAwareHead
+        (concatenated per-task flats)."""
+        B, A = cls_score.shape[:2]
         assigner_cfgs = self.assigner_cfgs or [dict(
             pos_iou_thr=0.6, neg_iou_thr=0.45, min_pos_iou=0.45)] \
             * self.num_classes
-
-        # host-side: anchors carry class ids only when sizes map 1:1 onto
-        # classes; otherwise assignment is class-agnostic (ref
-        # train_mixins.anchor_target_3d without per-class filtering).
-        # Pure-Python config check: anchor_cls may be a traced constant
-        # under jit and must not be converted to numpy here.
-        class_agnostic = len(self._gen.sizes) != self.num_classes
 
         def one_sample(cls_s, box_p, dir_p, gtb, gtl, gtm):
             if class_agnostic:

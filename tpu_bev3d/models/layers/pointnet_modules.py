@@ -91,8 +91,10 @@ class PointSAModuleMSG(nn.Module):
     use_xyz: bool = True
 
     @nn.compact
-    def __call__(self, xyz, feats, mask, train: bool = False):
-        idx = furthest_point_sample(xyz, mask, self.num_point)
+    def __call__(self, xyz, feats, mask, train: bool = False,
+                 indices=None):
+        idx = indices if indices is not None else \
+            furthest_point_sample(xyz, mask, self.num_point)
         new_xyz = xyz[idx]
         new_mask = mask[idx]
         outs = []

@@ -36,6 +36,7 @@ class _TargetSAMSG(nn.Module):
         outs = []
         for bi, (r, k, mlp) in enumerate(zip(self.radii, self.num_samples,
                                              self.mlp_channels)):
+            k = min(k, xyz.shape[0])
             nidx, nvalid = ball_query(target_xyz, xyz, mask, r, k)
             g_xyz = grouping_operation(xyz, nidx) - target_xyz[:, None]
             g = g_xyz if feats is None else jnp.concatenate(

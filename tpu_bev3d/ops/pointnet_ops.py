@@ -50,6 +50,30 @@ def furthest_point_sample(xyz, mask, num_samples: int):
     return idxs
 
 
+def furthest_point_sample_fused(xyz, feats, mask, num_samples: int,
+                                gamma: float = 1.0):
+    """F-FPS (ref mmcv furthest_point_sample_with_dist via 3DSSD's fused
+    metric): farthest sampling under d = feat_L2² + gamma·xyz_L2²."""
+    P = xyz.shape[0]
+    big = jnp.float32(1e10)
+    dist = jnp.where(mask, big, -1.0)
+    first = jnp.argmax(mask)
+
+    def body(i, carry):
+        dist, idxs = carry
+        cur = idxs[i - 1]
+        d = (jnp.sum((feats - feats[cur]) ** 2, -1)
+             + gamma * jnp.sum((xyz - xyz[cur]) ** 2, -1))
+        dist = jnp.minimum(dist, jnp.where(mask, d, -1.0))
+        nxt = jnp.argmax(dist)
+        return dist, idxs.at[i].set(nxt.astype(jnp.int32))
+
+    idxs0 = jnp.zeros((num_samples,), jnp.int32).at[0].set(
+        first.astype(jnp.int32))
+    _, idxs = jax.lax.fori_loop(1, num_samples, body, (dist, idxs0))
+    return idxs
+
+
 def gather_points(feats, idx):
     """[P, C], [S] → [S, C]."""
     return feats[idx]
