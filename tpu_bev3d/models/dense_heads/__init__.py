@@ -10,6 +10,9 @@ from .free_anchor3d_head import FreeAnchor3DHead
 from .point_rpn_head import PointRPNHead
 from .ssd_3d_head import SSD3DHead
 from .shape_aware_head import ShapeAwareHead
+from .monoflex_head import MonoFlexHead, MonoFlex
+from .pgd_head import PGDHead
+from .groupfree3d_head import GroupFree3DHead
 
 __all__ = ['Anchor3DHead', 'CenterHead', 'SeparateHead', 'BEVFusionHead',
-           'PETRHead', 'VoteHead', 'FCOSMono3DHead', 'FCAF3DHead', 'MinkSingleStage3DDetector', 'SMOKEMono3DHead', 'SMOKEMono3D', 'FreeAnchor3DHead', 'PointRPNHead', 'SSD3DHead', 'ShapeAwareHead']
+           'PETRHead', 'VoteHead', 'FCOSMono3DHead', 'FCAF3DHead', 'MinkSingleStage3DDetector', 'SMOKEMono3DHead', 'SMOKEMono3D', 'FreeAnchor3DHead', 'PointRPNHead', 'SSD3DHead', 'ShapeAwareHead', 'MonoFlexHead', 'MonoFlex', 'PGDHead', 'GroupFree3DHead']
