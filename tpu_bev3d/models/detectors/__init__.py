@@ -9,9 +9,11 @@ from .two_stage import TwoStage3DDetector
 from .parta2 import PartA2
 from .point_rcnn import PointRCNN
 from .pv_rcnn import PVRCNN
+from .h3dnet import H3DNet
+from .imvotenet import ImVoteNet, VoteFusion
 from .sassd import SASSD
 from .imvoxelnet import ImVoxelNet
 from .mvxnet import MVXNet, PointFusion
 
 __all__ = ['VoxelNet', 'DynamicVoxelNet', 'CenterPoint', 'BEVFusion',
-           'ConvFuser', 'PETR', 'VoteNet', 'FCOSMono3D', 'StreamPETR', 'StreamPETRHead', 'TwoStage3DDetector', 'PartA2', 'PointRCNN', 'PVRCNN', 'SASSD', 'ImVoxelNet', 'MVXNet', 'PointFusion']
+           'ConvFuser', 'PETR', 'VoteNet', 'FCOSMono3D', 'StreamPETR', 'StreamPETRHead', 'TwoStage3DDetector', 'PartA2', 'PointRCNN', 'PVRCNN', 'H3DNet', 'ImVoteNet', 'VoteFusion', 'SASSD', 'ImVoxelNet', 'MVXNet', 'PointFusion']
