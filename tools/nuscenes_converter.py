@@ -72,7 +72,14 @@ CLASSES = ['car', 'truck', 'construction_vehicle', 'bus', 'trailer',
 
 
 def create_nuscenes_infos(root, version='v1.0-mini', out_file=None,
-                          max_sweeps=10):
+                          max_sweeps=10, classes=None, name_map=None,
+                          with_velocity=True):
+    """classes/name_map/with_velocity overrides support Lyft's
+    nuScenes-schema tables (tools/lyft_converter.py)."""
+    CLASSES_ = list(classes) if classes is not None else CLASSES
+    DET_NAME_ = dict(name_map) if name_map is not None else (
+        DET_NAME if classes is None else
+        {c: c for c in CLASSES_})
     t = _load_tables(root, version)
     by_tok = {name: {r['token']: r for r in rows}
               for name, rows in t.items()}
@@ -160,7 +167,7 @@ def create_nuscenes_infos(root, version='v1.0-mini', out_file=None,
                 continue
             inst = by_tok['instance'][ann['instance_token']]
             cat = by_tok['category'][inst['category_token']]['name']
-            det = DET_NAME.get(cat)
+            det = DET_NAME_.get(cat)
             if det is None:
                 continue
             ctr = global2lidar[:3, :3] @ np.asarray(ann['translation']) \
@@ -168,13 +175,17 @@ def create_nuscenes_infos(root, version='v1.0-mini', out_file=None,
             rot = global2lidar[:3, :3] @ _quat_to_rot(ann['rotation'])
             yaw = np.arctan2(rot[1, 0], rot[0, 0])
             w, l, h = ann['size']          # nuScenes: (w, l, h)
-            vel = velocity(ann)
-            vel_l = global2lidar[:3, :3] @ np.array([vel[0], vel[1], 0.0])
+            if with_velocity:
+                vel = velocity(ann)
+                vel_l = global2lidar[:3, :3] @ np.array(
+                    [vel[0], vel[1], 0.0])
+            else:
+                vel_l = np.zeros(3)
             instances.append(dict(
                 bbox_3d=[float(ctr[0]), float(ctr[1]),
                          float(ctr[2] - h / 2), float(l), float(w),
                          float(h), float(yaw)],
-                bbox_label_3d=CLASSES.index(det),
+                bbox_label_3d=CLASSES_.index(det),
                 velocity=[float(vel_l[0]), float(vel_l[1])],
                 num_lidar_pts=ann.get('num_lidar_pts', 1)))
         info['instances'] = instances
@@ -182,7 +193,7 @@ def create_nuscenes_infos(root, version='v1.0-mini', out_file=None,
 
     out_file = out_file or os.path.join(root, 'nuscenes_infos.pkl')
     with open(out_file, 'wb') as f:
-        pickle.dump(dict(metainfo=dict(classes=CLASSES, version=version),
+        pickle.dump(dict(metainfo=dict(classes=CLASSES_, version=version),
                          data_list=data_list), f)
     print(f'wrote {len(data_list)} samples → {out_file}')
     return out_file

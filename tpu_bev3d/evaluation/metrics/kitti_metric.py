@@ -23,11 +23,23 @@ class KittiMetric(BaseMetric):
 
 
 @METRICS.register_module()
-class WaymoMetric(KittiMetric):
-    """Waymo eval via the KITTI-style AP backend over Waymo classes
-    (ref: mmdet3d/evaluation/metrics/waymo_metric.py converts to
-    KITTI-format and reuses the same rotated-IoU AP machinery)."""
+class WaymoMetric(BaseMetric):
+    """Native Waymo protocol: LEVEL_1/2 mAP + mAPH, optional LET variants
+    (ref: mmdet3d/evaluation/metrics/waymo_metric.py:246 delegating to the
+    waymo-open-dataset metrics; here evaluation/functional/waymo_eval.py).
+    """
 
-    def __init__(self, classes: Sequence[str] = (), **kwargs):
-        super().__init__(classes=list(classes)
-                         or ['Car', 'Pedestrian', 'Cyclist'], **kwargs)
+    def __init__(self, classes: Sequence[str] = (), let: bool = False,
+                 **kwargs):
+        super().__init__(**kwargs)
+        self.classes = list(classes) or ['Car', 'Pedestrian', 'Cyclist']
+        self.let = let
+
+    def compute_metrics(self) -> Dict[str, float]:
+        from ..functional.waymo_eval import waymo_eval
+        preds = [r[0] for r in self.results]
+        gts = [r[1] for r in self.results]
+        out = waymo_eval(preds, gts, self.classes)
+        if self.let:
+            out.update(waymo_eval(preds, gts, self.classes, let=True))
+        return out

@@ -25,3 +25,23 @@ class NuScenesMetric(BaseMetric):
         preds = [r[0] for r in self.results]
         gts = [r[1] for r in self.results]
         return nuscenes_eval(preds, gts, self.classes)
+
+
+@METRICS.register_module()
+class LyftMetric(BaseMetric):
+    """Native Lyft protocol: mAP over 3D-IoU thresholds 0.5..0.95 (ref
+    mmdet3d/evaluation/metrics/lyft_metric.py via lyft_dataset_sdk; here
+    evaluation/functional/lyft_eval.py)."""
+
+    def __init__(self, classes=(), **kwargs):
+        super().__init__(**kwargs)
+        self.classes = list(classes) or [
+            'car', 'truck', 'bus', 'emergency_vehicle', 'other_vehicle',
+            'motorcycle', 'bicycle', 'pedestrian', 'animal']
+
+    def compute_metrics(self):
+        from ..functional.lyft_eval import lyft_eval
+        preds = [r[0] for r in self.results]
+        gts = [r[1] for r in self.results]
+        return lyft_eval(preds, gts, self.classes)
+
