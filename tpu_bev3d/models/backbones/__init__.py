@@ -4,5 +4,7 @@ from .pointnet2_sa_ssg import PointNet2SASSG
 from .vovnet import VoVNetCP
 from .pointnet2_sa_msg import PointNet2SAMSG
 from .dgcnn import DGCNNBackbone
+from .dla import DLA
 
-__all__ = ['SECOND', 'SwinTransformer', 'PointNet2SASSG', 'VoVNetCP', 'PointNet2SAMSG', 'DGCNNBackbone']
+__all__ = ['SECOND', 'SwinTransformer', 'PointNet2SASSG', 'VoVNetCP',
+           'PointNet2SAMSG', 'DGCNNBackbone', 'DLA']
