@@ -53,3 +53,59 @@ def test_stream_petr_memory_propagation():
     assert not np.allclose(np.asarray(preds2['scores']),
                            np.asarray(preds2_nomem['scores']))
     assert np.all(np.isfinite(np.asarray(preds2['bboxes'])))
+
+
+def test_streampetr_dn_focal_eva():
+    """Denoising head + FocalHead priors + EVAViT backbone additions."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from tpu_bev3d.registry import MODELS
+
+    B, N, iH, iW = 1, 2, 64, 96
+    rng = np.random.default_rng(0)
+    imgs = rng.normal(size=(B, N, iH, iW, 3)).astype(np.float32)
+    # EVAViT backbone forward
+    vit = MODELS.build(dict(type='EVAViT', img_size=(iH, iW),
+                            patch_size=16, embed_dims=32, depth=3,
+                            num_heads=2, window_size=2,
+                            global_interval=3))
+    vv = vit.init(jax.random.PRNGKey(0), jnp.asarray(imgs[:, 0]))
+    feats = vit.apply(vv, jnp.asarray(imgs[:, 0]))
+    assert feats[0].shape == (B, iH // 16, iW // 16, 32)
+
+    # DN head with focal priors
+    head = MODELS.build(dict(type='StreamPETRHeadDN', num_classes=4,
+                             in_channels=32, embed_dims=32, num_query=8,
+                             num_layers=2, nhead=2, depth_num=4,
+                             num_memory=4, num_dn_groups=2,
+                             with_velocity=False))
+    img_feats = jnp.asarray(
+        rng.normal(size=(B, N, 4, 6, 32)).astype(np.float32))
+    cam = dict(cam2lidar=jnp.asarray(
+        np.tile(np.eye(4, dtype=np.float32), (B, N, 1, 1))),
+        intrins=jnp.asarray(np.tile(np.array(
+            [[50., 0, 48], [0, 50., 32], [0, 0, 1]], np.float32),
+            (B, N, 1, 1))))
+    gtb = jnp.asarray(rng.uniform(-5, 5, (B, 3, 7)).astype(np.float32))
+    gtl = jnp.asarray(rng.integers(0, 4, (B, 3)))
+    gtm = jnp.ones((B, 3), bool)
+
+    dn = head.make_dn(jax.random.PRNGKey(1), gtb, gtm)
+    variables = head.init(jax.random.PRNGKey(0), img_feats, cam,
+                          image_size=(iH, iW), dn=dn)
+    outs = head.apply(variables, img_feats, cam, image_size=(iH, iW),
+                      dn=dn)
+    assert outs['dn_cls'].shape[2] == 6      # 2 groups x 3 GT
+    assert outs['all_cls'].shape[2] == 8     # matching queries only
+    dl = head.apply(variables, outs, gtb, gtl, gtm, method=head.dn_loss)
+    for k, v in dl.items():
+        assert np.isfinite(float(v)), (k, v)
+
+    focal = MODELS.build(dict(type='FocalHead', num_classes=4,
+                              in_channels=32, num_priors=8))
+    fv = focal.init(jax.random.PRNGKey(0), img_feats, cam,
+                    image_size=(iH, iW))
+    refs, aux = focal.apply(fv, img_feats, cam, image_size=(iH, iW))
+    assert refs.shape == (B, 8, 3)
+    assert np.isfinite(np.asarray(refs)).all()

@@ -37,10 +37,14 @@ class PETRDecoderLayer(nn.Module):
     dim_ff: int = 2048
 
     @nn.compact
-    def __call__(self, q, kv, q_pos, k_pos):
+    def __call__(self, q, kv, q_pos, k_pos, self_attn_mask=None):
+        """self_attn_mask [Q, Q] bool (True = may attend) — used by the
+        denoising head to isolate noise groups (ref PETRHeadDN)."""
+        mask = None if self_attn_mask is None else \
+            self_attn_mask[None, None]
         x = q + nn.MultiHeadDotProductAttention(
             self.nhead, dtype=q.dtype, name='self_attn')(q + q_pos, q + q_pos,
-                                                         q)
+                                                         q, mask=mask)
         x = nn.LayerNorm(dtype=x.dtype)(x)
         x = x + nn.MultiHeadDotProductAttention(
             self.nhead, dtype=x.dtype, name='cross_attn')(
