@@ -1,0 +1,91 @@
+"""Indoor / SemanticKITTI converters + v1→v2 info migration + indoor/
+instance/panoptic metric goldens."""
+import os
+import pickle
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), '..', '..',
+                                'tools'))
+
+
+def test_indoor_converter(tmp_path):
+    from indoor_converter import build_indoor_infos
+    os.makedirs(tmp_path / 'points')
+    os.makedirs(tmp_path / 'train_bboxes')
+    rng = np.random.default_rng(0)
+    for sc in ('scene0', 'scene1'):
+        rng.normal(size=(100, 6)).astype(np.float32).tofile(
+            tmp_path / 'points' / f'{sc}.bin')
+        boxes = np.concatenate(
+            [rng.uniform(-3, 3, (4, 3)), rng.uniform(0.5, 2, (4, 3)),
+             rng.integers(0, 18, (4, 1)).astype(float)], -1)
+        np.save(tmp_path / 'train_bboxes' / f'{sc}.npy', boxes)
+    infos, out = build_indoor_infos(str(tmp_path), 'scannet', 'train')
+    assert len(infos) == 2
+    data = pickle.load(open(out, 'rb'))
+    inst = data['data_list'][0]['instances']
+    assert len(inst) == 4 and len(inst[0]['bbox_3d']) == 7
+
+
+def test_semantickitti_converter(tmp_path):
+    from semantickitti_converter import build_semantickitti_infos
+    seq = tmp_path / 'sequences' / '08'
+    os.makedirs(seq / 'velodyne')
+    os.makedirs(seq / 'labels')
+    for i in range(3):
+        np.zeros((10, 4), np.float32).tofile(
+            seq / 'velodyne' / f'{i:06d}.bin')
+        np.zeros((10,), np.uint32).tofile(seq / 'labels'
+                                          / f'{i:06d}.label')
+    infos, out = build_semantickitti_infos(str(tmp_path), 'val')
+    assert len(infos) == 3
+    assert infos[0]['pts_semantic_mask_path'].endswith('.label')
+
+
+def test_update_infos_to_v2(tmp_path):
+    from update_infos_to_v2 import update_pkl_infos
+    v1 = dict(infos=[dict(
+        point_cloud=dict(idx=7, velodyne_path='velodyne/000007.bin'),
+        annos=dict(name=['Car', 'DontCare'],
+                   location=[[1.0, 2.0, 10.0], [0, 0, 0]],
+                   dimensions=[[3.9, 1.5, 1.6], [0, 0, 0]],
+                   rotation_y=[0.3, 0.0],
+                   occluded=[0, 0], truncated=[0.0, 0.0],
+                   bbox=[[0, 0, 50, 50], [0, 0, 1, 1]],
+                   num_points_in_gt=[55, 0]))])
+    p_in = tmp_path / 'v1.pkl'
+    p_out = tmp_path / 'v2.pkl'
+    pickle.dump(v1, open(p_in, 'wb'))
+    new = update_pkl_infos('kitti', str(p_in), str(p_out))
+    inst = new['data_list'][0]['instances']
+    assert len(inst) == 1                       # DontCare dropped
+    assert inst[0]['bbox_3d'][3:6] == [3.9, 1.6, 1.5]  # l, w, h order
+
+
+def test_indoor_and_panoptic_metrics():
+    from tpu_bev3d.evaluation.functional.indoor_eval import (
+        indoor_eval, instance_seg_eval, panoptic_seg_eval)
+    gt = [dict(boxes=np.asarray([[0, 0, 0, 2, 2, 2, 0]], np.float32),
+               labels=np.asarray([0]))]
+    pred = [dict(boxes=gt[0]['boxes'].copy(), labels=np.asarray([0]),
+                 scores=np.asarray([0.9], np.float32))]
+    out = indoor_eval(pred, gt, ['chair'])
+    assert out['mAP_0.25'] == 1.0 and out['mAP_0.50'] == 1.0
+
+    P = 50
+    gm = np.zeros((2, P), bool); gm[0, :20] = True; gm[1, 30:] = True
+    pm = np.zeros((2, P), bool); pm[0, :18] = True; pm[1, 31:] = True
+    ig = [dict(masks=gm, labels=np.asarray([0, 1]))]
+    ip = [dict(masks=pm, labels=np.asarray([0, 1]),
+               scores=np.asarray([0.9, 0.8], np.float32))]
+    iout = instance_seg_eval(ip, ig, ['a', 'b'])
+    assert iout['inst_mAP_0.50'] == 1.0
+
+    sem = np.zeros(P, np.int64); sem[30:] = 1
+    inst = np.zeros(P, np.int64); inst[:20] = 1; inst[30:] = 2
+    gpan = [dict(sem=sem, inst=inst)]
+    ppan = [dict(sem=sem.copy(), inst=inst.copy())]
+    pout = panoptic_seg_eval(ppan, gpan, ['a', 'b'])
+    assert pout['PQ'] == 1.0

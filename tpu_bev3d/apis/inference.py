@@ -111,3 +111,91 @@ def inference_detector(model: InferenceModel,
                             scores=out['scores'][0][keep],
                             labels=out['labels'][0][keep]))
     return results
+
+
+def inference_mono_3d_detector(model: InferenceModel, imgs, cam2img):
+    """Monocular 3D detection (ref apis/inference.py
+    inference_mono_3d_detector): image(s) + per-image 3×3 intrinsics →
+    camera-frame boxes."""
+    import jax
+    import jax.numpy as jnp
+
+    single = isinstance(imgs, np.ndarray) and imgs.ndim == 3
+    if single:
+        imgs = [imgs]
+        cam2img = [cam2img]
+    results = []
+    for im, K in zip(imgs, cam2img):
+        batch = dict(imgs=jnp.asarray(im, jnp.float32)[None],
+                     cam2img=jnp.asarray(K, jnp.float32)[None])
+        out = jax.device_get(model.predict(batch))
+        keep = out['mask'][0]
+        results.append(dict(bboxes=out['bboxes'][0][keep],
+                            scores=out['scores'][0][keep],
+                            labels=out['labels'][0][keep]))
+    return results
+
+
+def inference_multi_modality_detector(model: InferenceModel, pcds, imgs,
+                                      cam_params):
+    """LiDAR + camera detection (ref apis/inference.py
+    inference_multi_modality_detector): points + multi-view images +
+    calibration dict (cam2lidar/intrins/post_rots/post_trans/lidar2img
+    arrays, [N,…] per sample)."""
+    import jax
+    import jax.numpy as jnp
+
+    if isinstance(pcds, (str, np.ndarray)):
+        pcds = [pcds]
+        imgs = [imgs]
+        cam_params = [cam_params]
+    num_feats = _point_dim(model.cfg)
+    cap = int(model.cfg.get('inference_num_points', 120000))
+    results = []
+    for pcd, im, cp in zip(pcds, imgs, cam_params):
+        pts = np.fromfile(pcd, np.float32).reshape(-1, num_feats) \
+            if isinstance(pcd, str) else np.asarray(pcd, np.float32)
+        n = min(len(pts), cap)
+        buf = np.zeros((cap, num_feats), np.float32)
+        buf[:n] = pts[:n, :num_feats]
+        mask = np.zeros((cap,), bool)
+        mask[:n] = True
+        batch = dict(points=jnp.asarray(buf)[None],
+                     points_mask=jnp.asarray(mask)[None],
+                     imgs=jnp.asarray(im, jnp.float32)[None])
+        for k, v in cp.items():
+            batch[k] = jnp.asarray(v, jnp.float32)[None]
+        out = jax.device_get(model.predict(batch))
+        keep = out['mask'][0]
+        results.append(dict(bboxes=out['bboxes'][0][keep],
+                            scores=out['scores'][0][keep],
+                            labels=out['labels'][0][keep]))
+    return results
+
+
+def inference_segmentor(model: InferenceModel, pcds):
+    """Point-cloud semantic segmentation (ref apis/inference.py
+    inference_segmentor)."""
+    import jax
+    import jax.numpy as jnp
+
+    if isinstance(pcds, (str, np.ndarray)):
+        pcds = [pcds]
+    num_feats = _point_dim(model.cfg)
+    cap = int(model.cfg.get('inference_num_points', 120000))
+    results = []
+    for pcd in pcds:
+        pts = np.fromfile(pcd, np.float32).reshape(-1, num_feats) \
+            if isinstance(pcd, str) else np.asarray(pcd, np.float32)
+        n = min(len(pts), cap)
+        buf = np.zeros((cap, num_feats), np.float32)
+        buf[:n] = pts[:n, :num_feats]
+        mask = np.zeros((cap,), bool)
+        mask[:n] = True
+        batch = dict(points=jnp.asarray(buf)[None],
+                     points_mask=jnp.asarray(mask)[None])
+        out = jax.device_get(model.predict(batch))
+        results.append(dict(
+            pts_semantic_mask=out['pts_semantic_mask'][0][:n],
+            logits=out['logits'][0][:n]))
+    return results

@@ -75,3 +75,36 @@ class LidarDet3DInferencer(Base3DInferencer):
                          pc_range=(pcr[0], pcr[1], pcr[3], pcr[4]))
             paths.append(p)
         return paths
+
+
+class MonoDet3DInferencer(Base3DInferencer):
+    """Monocular detection inferencer (ref mono_det3d_inferencer.py).
+    inputs: list of dicts {img: ndarray HWC, cam2img: [3,3]}."""
+
+    def forward(self, inputs):
+        from .inference import inference_mono_3d_detector
+        items = inputs if isinstance(inputs, (list, tuple)) else [inputs]
+        return inference_mono_3d_detector(
+            self.model, [i['img'] for i in items],
+            [i['cam2img'] for i in items])
+
+
+class MultiModalityDet3DInferencer(Base3DInferencer):
+    """LiDAR+camera inferencer (ref multi_modality_det3d_inferencer.py).
+    inputs: list of dicts {points, imgs, cam_params}."""
+
+    def forward(self, inputs):
+        from .inference import inference_multi_modality_detector
+        items = inputs if isinstance(inputs, (list, tuple)) else [inputs]
+        return inference_multi_modality_detector(
+            self.model, [i['points'] for i in items],
+            [i['imgs'] for i in items],
+            [i['cam_params'] for i in items])
+
+
+class LidarSeg3DInferencer(Base3DInferencer):
+    """Segmentation inferencer (ref lidar_seg3d_inferencer.py)."""
+
+    def forward(self, inputs):
+        from .inference import inference_segmentor
+        return inference_segmentor(self.model, inputs)

@@ -45,3 +45,50 @@ class LyftMetric(BaseMetric):
         gts = [r[1] for r in self.results]
         return lyft_eval(preds, gts, self.classes)
 
+
+@METRICS.register_module()
+class IndoorMetric(BaseMetric):
+    """Indoor AP@0.25/0.5 (ref mmdet3d/evaluation/metrics/
+    indoor_metric.py via indoor_eval)."""
+
+    def __init__(self, classes=(), iou_thrs=(0.25, 0.5), **kwargs):
+        super().__init__(**kwargs)
+        self.classes = list(classes)
+        self.iou_thrs = tuple(iou_thrs)
+
+    def compute_metrics(self):
+        from ..functional.indoor_eval import indoor_eval
+        preds = [r[0] for r in self.results]
+        gts = [r[1] for r in self.results]
+        return indoor_eval(preds, gts, self.classes, self.iou_thrs)
+
+
+@METRICS.register_module()
+class InstanceSegMetric(BaseMetric):
+    """ScanNet-protocol instance-seg AP (ref instance_seg_metric.py)."""
+
+    def __init__(self, classes=(), **kwargs):
+        super().__init__(**kwargs)
+        self.classes = list(classes)
+
+    def compute_metrics(self):
+        from ..functional.indoor_eval import instance_seg_eval
+        preds = [r[0] for r in self.results]
+        gts = [r[1] for r in self.results]
+        return instance_seg_eval(preds, gts, self.classes)
+
+
+@METRICS.register_module()
+class PanopticSegMetric(BaseMetric):
+    """Panoptic quality (ref panoptic_seg_metric.py)."""
+
+    def __init__(self, classes=(), **kwargs):
+        super().__init__(**kwargs)
+        self.classes = list(classes)
+
+    def compute_metrics(self):
+        from ..functional.indoor_eval import panoptic_seg_eval
+        preds = [r[0] for r in self.results]
+        gts = [r[1] for r in self.results]
+        return panoptic_seg_eval(preds, gts, self.classes)
+
