@@ -45,3 +45,54 @@ def test_pointnet2_seg_and_tta():
     out = tta.apply(tv, batch)
     assert out['pts_semantic_mask'].shape == (B, S)
     assert np.isfinite(np.asarray(out['logits'])).all()
+
+
+def test_nostem_regnet_and_multibackbone():
+    from tpu_bev3d.registry import MODELS
+    m = MODELS.build(dict(type='NoStemRegNet', in_channels=16,
+                          stage_channels=[16, 32], stage_blocks=[1, 2],
+                          stage_strides=[2, 2], out_indices=[0, 1]))
+    x = jnp.zeros((1, 32, 32, 16))
+    v = m.init(jax.random.PRNGKey(0), x)
+    outs, _ = m.apply(v, x, mutable=['batch_stats'])
+    assert outs[0].shape == (1, 16, 16, 16)
+    assert outs[1].shape == (1, 8, 8, 32)
+
+    mb = MODELS.build(dict(
+        type='MultiBackbone', num_streams=2, aggregation_channels=24,
+        backbone=dict(type='SECOND', in_channels=16,
+                      out_channels=[16, 32], layer_nums=[1, 1],
+                      layer_strides=[2, 2])))
+    v = mb.init(jax.random.PRNGKey(0), x)
+    outs, _ = mb.apply(v, x, mutable=['batch_stats'])
+    assert outs[0].shape[-1] == 24     # concat 32 -> agg 24
+    assert outs[1].shape[-1] == 24
+
+
+def test_spvcnn_backbone():
+    from tpu_bev3d.registry import MODELS
+    from tpu_bev3d.ops.sparse_conv import SparseTensor
+    rng = np.random.default_rng(0)
+    V, P = 64, 96
+    coords = np.stack([np.zeros(V), rng.integers(0, 16, V),
+                       rng.integers(0, 32, V),
+                       rng.integers(0, 32, V)], 1).astype(np.int32)
+    coords[50:] = -1
+    feats = rng.normal(size=(V, 4)).astype(np.float32)
+    st = SparseTensor(jnp.asarray(feats), jnp.asarray(coords),
+                      (16, 32, 32), 1)
+    pc = np.stack([np.zeros(P), rng.integers(0, 16, P),
+                   rng.integers(0, 32, P),
+                   rng.integers(0, 32, P)], 1).astype(np.int32)
+    pf = rng.normal(size=(P, 4)).astype(np.float32)
+    pv = np.ones(P, bool)
+    m = MODELS.build(dict(type='SPVCNNBackbone', in_channels=4,
+                          base_channels=8, encoder_channels=[8, 16],
+                          decoder_channels=[16], point_channels=[16]))
+    v = m.init(jax.random.PRNGKey(0), st, jnp.asarray(pc),
+               jnp.asarray(pf), jnp.asarray(pv))
+    (st_out, pfeat), _ = m.apply(v, st, jnp.asarray(pc),
+                                 jnp.asarray(pf), jnp.asarray(pv),
+                                 mutable=['batch_stats'])
+    assert pfeat.shape == (P, 16)
+    assert np.isfinite(np.asarray(pfeat)).all()
