@@ -64,3 +64,8 @@ def test_train_step_8dev_mesh(setup):
     # gradient is a global all-reduce: params stay replicated
     leaf = jax.tree_util.tree_leaves(state2.params)[0]
     assert leaf.sharding.is_fully_replicated
+
+
+def test_init_distributed_noop_single_process():
+    from tpu_bev3d.engine import init_distributed
+    assert init_distributed() is False

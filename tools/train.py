@@ -29,6 +29,11 @@ def main():
     args = parse_args()
     from tpu_bev3d.config import Config
     from tpu_bev3d.engine.runner import Runner
+    from tpu_bev3d.engine import init_distributed
+
+    # multi-host: no-op unless launched under a pod/coordinator env
+    # (the reference's dist_train.sh analogue)
+    init_distributed()
 
     cfg = Config.fromfile(args.config)
     if args.cfg_options:

@@ -72,3 +72,55 @@ def replicate_state(state, mesh: Mesh):
     sharding = NamedSharding(mesh, P())
     return jax.tree_util.tree_map(
         lambda x: jax.device_put(x, sharding), state)
+
+
+def init_distributed(coordinator_address=None, num_processes=None,
+                     process_id=None):
+    """Multi-HOST initialization (ref: the reference's torch.distributed /
+    dist_train.sh launch, tools/dist_train.sh:10-19; here
+    jax.distributed.initialize so jax.devices() spans every host's chips
+    and the data mesh covers the full pod slice).
+
+    No-ops when single-process (env vars absent and no explicit args) —
+    safe to call unconditionally from tools/train.py. On TPU pods the
+    arguments are auto-detected from the environment.
+    """
+    import os
+    explicit = coordinator_address is not None
+    env_addr = os.environ.get('JAX_COORDINATOR_ADDRESS') \
+        or os.environ.get('MEGASCALE_COORDINATOR_ADDRESS')
+    on_pod = bool(os.environ.get('TPU_WORKER_HOSTNAMES'))
+    if not (explicit or env_addr or on_pod):
+        return False
+    kwargs = {}
+    if coordinator_address is not None:
+        kwargs['coordinator_address'] = coordinator_address
+    if num_processes is not None:
+        kwargs['num_processes'] = int(num_processes)
+    if process_id is not None:
+        kwargs['process_id'] = int(process_id)
+    try:
+        jax.distributed.initialize(**kwargs)
+    except (ValueError, RuntimeError) as e:
+        # mis-detected environment (e.g. a single-host dev box with pod
+        # env leftovers): stay single-process rather than crash training
+        import warnings
+        warnings.warn(f'init_distributed skipped: {e}')
+        return False
+    return True
+
+
+def global_data_mesh(axis: str = 'data') -> Mesh:
+    """Data mesh over ALL devices across hosts (call after
+    init_distributed); per-host batch sharding uses
+    jax.make_array_from_process_local_data under this mesh."""
+    return Mesh(np.asarray(jax.devices()), (axis,))
+
+
+def shard_host_local_batch(batch, mesh: Mesh, axis: str = 'data'):
+    """Multi-host batch placement: each process contributes its local
+    shard of the global batch (ref DDP per-rank loaders)."""
+    sharding = NamedSharding(mesh, P(axis))
+    return jax.tree_util.tree_map(
+        lambda x: jax.make_array_from_process_local_data(sharding, x),
+        batch)
