@@ -15,6 +15,11 @@ if '--xla_force_host_platform_device_count' not in flags:
 import jax
 
 jax.config.update('jax_platforms', 'cpu')
+# CPU-CI compile speed: tests trace tiny shapes hundreds of times; XLA's
+# full optimization pipeline dominates suite runtime. Disabling most
+# optimizations cuts compile time sharply and execution on these toy
+# shapes is negligible either way.
+jax.config.update('jax_disable_most_optimizations', True)
 
 import numpy as np
 import pytest
