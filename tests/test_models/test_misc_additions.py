@@ -96,3 +96,22 @@ def test_spvcnn_backbone():
                                  mutable=['batch_stats'])
     assert pfeat.shape == (P, 16)
     assert np.isfinite(np.asarray(pfeat)).all()
+
+
+def test_paconv_sa_module():
+    from tpu_bev3d.models.layers.pointnet_modules import (PAConv,
+                                                          PAConvSAModule)
+    rng = np.random.default_rng(0)
+    xyz = jnp.asarray(rng.normal(size=(64, 3)).astype(np.float32))
+    feats = jnp.asarray(rng.normal(size=(64, 8)).astype(np.float32))
+    mask = jnp.ones(64, bool)
+    m = PAConvSAModule(num_point=16, radius=1.0, num_sample=8,
+                       mlp_channels=[16, 16], num_kernels=4)
+    v = m.init(jax.random.PRNGKey(0), xyz, feats, mask)
+    nx, nf, nm, _ = m.apply(v, xyz, feats, mask)
+    assert nf.shape == (16, 16)
+    assert np.isfinite(np.asarray(nf)).all()
+    # correlation regularizer is finite and positive for random banks
+    wb = v['params']['paconv0']['weight_bank']
+    r = PAConv.corr_loss(wb)
+    assert float(r) > 0 and np.isfinite(float(r))

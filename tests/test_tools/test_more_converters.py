@@ -89,3 +89,31 @@ def test_indoor_and_panoptic_metrics():
     ppan = [dict(sem=sem.copy(), inst=inst.copy())]
     pout = panoptic_seg_eval(ppan, gpan, ['a', 'b'])
     assert pout['PQ'] == 1.0
+
+
+def test_nuimages_converter(tmp_path):
+    import json
+    from nuimages_converter import create_nuimages_coco
+    tdir = tmp_path / 'v1.0-mini'
+    os.makedirs(tdir)
+    json.dump([dict(token='sd0', is_key_frame=True,
+                    filename='samples/CAM_FRONT/a.jpg',
+                    width=1600, height=900),
+               dict(token='sd1', is_key_frame=False,
+                    filename='sweeps/CAM_FRONT/b.jpg')],
+              open(tdir / 'sample_data.json', 'w'))
+    json.dump([dict(token='c0', name='vehicle.car'),
+               dict(token='c1', name='animal')],
+              open(tdir / 'category.json', 'w'))
+    json.dump([dict(sample_data_token='sd0', category_token='c0',
+                    bbox=[10, 20, 110, 80]),
+               dict(sample_data_token='sd0', category_token='c1',
+                    bbox=[0, 0, 5, 5]),
+               dict(sample_data_token='sd1', category_token='c0',
+                    bbox=[1, 1, 2, 2])],
+              open(tdir / 'object_ann.json', 'w'))
+    coco, out = create_nuimages_coco(str(tmp_path), 'v1.0-mini')
+    assert len(coco['images']) == 1          # keyframes only
+    assert len(coco['annotations']) == 1     # animal + sweep dropped
+    a = coco['annotations'][0]
+    assert a['bbox'] == [10, 20, 100, 60]

@@ -131,3 +131,75 @@ class PointFPModule(nn.Module):
         tmask = jnp.ones(target_xyz.shape[0], bool)
         return SharedMLP(self.mlp_channels, name='mlp')(
             interp, tmask, train)
+
+
+class PAConv(nn.Module):
+    """Position Adaptive Convolution (ref mmdet3d/models/layers/paconv/
+    paconv.py): a bank of M weight matrices is mixed per neighbor by
+    coefficients from a ScoreNet over the relative position; the mixed
+    matmul is realized as (feat @ each W_m) weighted by scores — all
+    MXU GEMMs, no per-neighbor dynamic weights."""
+    out_channels: int
+    num_kernels: int = 8
+    scorenet_channels: int = 16
+
+    @nn.compact
+    def __call__(self, grouped_feats, grouped_xyz, valid):
+        """grouped_feats [S, K, C]; grouped_xyz [S, K, 3] (center-rel);
+        valid [S, K] → [S, K, out]."""
+        M = self.num_kernels
+        # ScoreNet over (rel xyz, |xyz|) → softmax over kernels
+        d = jnp.linalg.norm(grouped_xyz, axis=-1, keepdims=True)
+        s = jnp.concatenate([grouped_xyz, d], -1)
+        s = nn.Dense(self.scorenet_channels, name='score_fc1')(s)
+        s = nn.relu(s)
+        scores = jax.nn.softmax(
+            nn.Dense(M, name='score_fc2')(s), -1)          # [S, K, M]
+        C = grouped_feats.shape[-1]
+        bank = self.param('weight_bank', nn.initializers.lecun_normal(),
+                          (M, C, self.out_channels))
+        # [S,K,C] x [M,C,O] → [S,K,M,O], mixed by scores
+        proj = jnp.einsum('skc,mco->skmo', grouped_feats, bank)
+        out = jnp.einsum('skmo,skm->sko', proj, scores)
+        return out * valid[..., None]
+
+    @staticmethod
+    def corr_loss(weight_bank):
+        """Weight-bank correlation regularizer (ref paconv corr loss):
+        penalize cosine similarity between kernel matrices."""
+        M = weight_bank.shape[0]
+        flat = weight_bank.reshape(M, -1)
+        nrm = flat / jnp.maximum(
+            jnp.linalg.norm(flat, axis=-1, keepdims=True), 1e-6)
+        sim = nrm @ nrm.T
+        off = sim - jnp.diag(jnp.diag(sim))
+        return jnp.sum(off ** 2) / (M * (M - 1))
+
+
+class PAConvSAModule(nn.Module):
+    """SA module whose shared MLP is replaced by PAConv layers (ref
+    paconv_sa_module.py)."""
+    num_point: int
+    radius: float
+    num_sample: int
+    mlp_channels: Sequence[int]
+    num_kernels: int = 8
+
+    @nn.compact
+    def __call__(self, xyz, feats, mask, train: bool = False):
+        idx = furthest_point_sample(xyz, mask, self.num_point)
+        new_xyz = xyz[idx]
+        new_mask = mask[idx]
+        nidx, nvalid = ball_query(new_xyz, xyz, mask, self.radius,
+                                  self.num_sample)
+        g_xyz = grouping_operation(xyz, nidx) - new_xyz[:, None]
+        g = g_xyz if feats is None else jnp.concatenate(
+            [g_xyz, grouping_operation(feats, nidx)], -1)
+        for i, ch in enumerate(self.mlp_channels):
+            g = PAConv(ch, self.num_kernels, name=f'paconv{i}')(
+                g, g_xyz, nvalid)
+            g = nn.relu(g)
+        g = jnp.where(nvalid[..., None], g, -jnp.inf)
+        out = jnp.max(g, axis=1)
+        out = jnp.where(jnp.isfinite(out), out, 0.0)
+        return new_xyz, out * new_mask[:, None], new_mask, idx
