@@ -11,9 +11,10 @@ from .point_rcnn import PointRCNN
 from .pv_rcnn import PVRCNN
 from .h3dnet import H3DNet
 from .imvotenet import ImVoteNet, VoteFusion
+from .dfm import DfM
 from .sassd import SASSD
 from .imvoxelnet import ImVoxelNet
 from .mvxnet import MVXNet, PointFusion
 
 __all__ = ['VoxelNet', 'DynamicVoxelNet', 'CenterPoint', 'BEVFusion',
-           'ConvFuser', 'PETR', 'VoteNet', 'FCOSMono3D', 'StreamPETR', 'StreamPETRHead', 'TwoStage3DDetector', 'PartA2', 'PointRCNN', 'PVRCNN', 'H3DNet', 'ImVoteNet', 'VoteFusion', 'SASSD', 'ImVoxelNet', 'MVXNet', 'PointFusion']
+           'ConvFuser', 'PETR', 'VoteNet', 'FCOSMono3D', 'StreamPETR', 'StreamPETRHead', 'TwoStage3DDetector', 'PartA2', 'PointRCNN', 'PVRCNN', 'H3DNet', 'ImVoteNet', 'VoteFusion', 'DfM', 'SASSD', 'ImVoxelNet', 'MVXNet', 'PointFusion']
