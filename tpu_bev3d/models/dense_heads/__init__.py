@@ -13,6 +13,7 @@ from .shape_aware_head import ShapeAwareHead
 from .monoflex_head import MonoFlexHead, MonoFlex
 from .pgd_head import PGDHead
 from .groupfree3d_head import GroupFree3DHead
+from .yolox_head import YOLOXHead2D
 
 __all__ = ['Anchor3DHead', 'CenterHead', 'SeparateHead', 'BEVFusionHead',
-           'PETRHead', 'VoteHead', 'FCOSMono3DHead', 'FCAF3DHead', 'MinkSingleStage3DDetector', 'SMOKEMono3DHead', 'SMOKEMono3D', 'FreeAnchor3DHead', 'PointRPNHead', 'SSD3DHead', 'ShapeAwareHead', 'MonoFlexHead', 'MonoFlex', 'PGDHead', 'GroupFree3DHead']
+           'PETRHead', 'VoteHead', 'FCOSMono3DHead', 'FCAF3DHead', 'MinkSingleStage3DDetector', 'SMOKEMono3DHead', 'SMOKEMono3D', 'FreeAnchor3DHead', 'PointRPNHead', 'SSD3DHead', 'ShapeAwareHead', 'MonoFlexHead', 'MonoFlex', 'PGDHead', 'GroupFree3DHead', 'YOLOXHead2D']

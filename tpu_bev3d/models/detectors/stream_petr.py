@@ -29,6 +29,8 @@ class StreamPETR(nn.Module):
     img_backbone: Any = None
     img_neck: Any = None
     bbox_head: Any = None
+    img_roi_head: Any = None      # aux 2D head (YOLOXHead2D / FocalHead)
+    aux_2d_only: bool = True      # ref petr3d.py:61 — 2D head train-only
     image_size: Any = (256, 704)
     num_propagated: int = 128
 
@@ -39,14 +41,23 @@ class StreamPETR(nn.Module):
         head_cfg = dict(self.bbox_head)
         head_cfg['num_memory'] = self.num_propagated
         self._bbox_head = MODELS.build(head_cfg)
+        self._img_roi_head = MODELS.build(dict(self.img_roi_head)) \
+            if self.img_roi_head else None
 
     def empty_memory(self, batch_size: int):
+        """Fixed-size temporal memory pytree. The extra velo/timestamp/
+        egopose slots feed SparseHead's MLN ego conditioning (ref
+        sparse_head.py:403-468 pre/post_update_memory); heads that don't
+        use them (StreamPETRHead) simply ignore the keys."""
         d = self._bbox_head.embed_dims
         M = self.num_propagated
         return dict(
             feat=jnp.zeros((batch_size, M, d)),
             ref=jnp.full((batch_size, M, 3), 0.5),
-            valid=jnp.zeros((batch_size, M), bool))
+            valid=jnp.zeros((batch_size, M), bool),
+            velo=jnp.zeros((batch_size, M, 3)),
+            timestamp=jnp.zeros((batch_size, M, 1)),
+            egopose=jnp.tile(jnp.eye(4), (batch_size, M, 1, 1)))
 
     def extract_feat(self, imgs, train=False):
         B, N, H, W, C = imgs.shape
@@ -56,7 +67,7 @@ class StreamPETR(nn.Module):
             feats = self._img_neck(feats, train=train)
         f = feats[0]
         fh, fw, fc = f.shape[1:]
-        return f.reshape(B, N, fh, fw, fc)
+        return f.reshape(B, N, fh, fw, fc), feats
 
     def __call__(self, batch, memory=None, mode: str = 'tensor',
                  train: bool = False):
@@ -75,29 +86,75 @@ class StreamPETR(nn.Module):
             memory = dict(memory,
                           ref=jnp.clip((world - pr[:3])
                                        / (pr[3:] - pr[:3]), 0, 1))
-        feats = self.extract_feat(batch['imgs'], train=train)
+            if 'egopose' in memory:
+                memory = dict(memory, egopose=jnp.einsum(
+                    'bij,bmjk->bmik', T, memory['egopose']))
+        if 'time_delta' in batch and 'timestamp' in memory:
+            # propagated queries age by dt each frame (ref
+            # sparse_head.py:403-435 memory_timestamp += time interval)
+            memory = dict(memory, timestamp=memory['timestamp']
+                          + batch['time_delta'][:, None, None])
+        feats, feats_all = self.extract_feat(batch['imgs'], train=train)
         cam_params = {k: batch[k] for k in ('cam2lidar', 'intrins')
                       if k in batch}
+        head_kwargs = {}
+        outs2d = None
+        if self._img_roi_head is not None:
+            if isinstance(self._img_roi_head, FocalHead):
+                prior_refs, _ = self._img_roi_head(
+                    feats, cam_params, image_size=tuple(self.image_size),
+                    train=train)
+                head_kwargs['prior_refs'] = prior_refs
+            elif (train or self.is_initializing()
+                  or not self.aux_2d_only):
+                # ref petr3d.py:172 — with aux_2d_only the 2D head is
+                # training-time supervision only; eval skips it
+                n_lvl = len(self._img_roi_head.strides)
+                outs2d = self._img_roi_head(list(feats_all)[:n_lvl],
+                                            train=train)
         outs = self._bbox_head(feats, cam_params,
                                image_size=tuple(self.image_size),
-                               memory=memory, train=train)
+                               memory=memory, train=train, **head_kwargs)
         # build next-frame memory: top-k confident queries
         scores = jax.nn.sigmoid(outs['all_cls'][-1]).max(-1)   # [B, Q]
         top, idx = jax.lax.top_k(scores, self.num_propagated)
+        gather = jax.vmap(lambda q, i: q[i])
+        bbox_last = outs['all_bbox'][-1]
+        velo = (jnp.concatenate(
+            [bbox_last[..., 8:10],
+             jnp.zeros_like(bbox_last[..., :1])], -1)
+            if bbox_last.shape[-1] > 8 else
+            jnp.zeros(bbox_last.shape[:-1] + (3,)))
         new_memory = dict(
-            feat=jax.vmap(lambda q, i: q[i])(outs['query_feat'], idx),
-            ref=jax.vmap(lambda r, i: r[i])(
-                outs['all_bbox'][-1][..., :3], idx),
-            valid=top > 0.1)
+            feat=gather(outs['query_feat'], idx),
+            ref=gather(bbox_last[..., :3], idx),
+            valid=top > 0.1,
+            velo=gather(velo, idx),
+            timestamp=jnp.zeros((B, self.num_propagated, 1)),
+            egopose=jnp.tile(jnp.eye(4), (B, self.num_propagated, 1, 1)))
         if mode == 'tensor':
             return outs, new_memory
         if mode == 'loss':
-            return self._bbox_head.loss_by_feat(
+            losses = self._bbox_head.loss_by_feat(
                 outs, batch['gt_bboxes_3d'], batch['gt_labels_3d'],
-                batch['gt_mask']), new_memory
+                batch['gt_mask'])
+            losses.update(self._aux_2d_losses(outs2d, batch))
+            return losses, new_memory
         if mode == 'predict':
             return self._bbox_head.predict_by_feat(outs), new_memory
         raise ValueError(mode)
+
+    def _aux_2d_losses(self, outs2d, batch):
+        """Aux 2D YOLOX losses over per-camera neck levels (ref
+        petr3d.py:215-220 — only when 2D GT present)."""
+        if outs2d is None or 'gt_bboxes_2d' not in batch:
+            return {}
+        B, N = batch['gt_bboxes_2d'].shape[:2]
+        flat = lambda x: x.reshape((B * N,) + x.shape[2:])
+        return self._img_roi_head.loss_by_feat(
+            outs2d, flat(batch['gt_bboxes_2d']),
+            flat(batch['gt_labels_2d']), flat(batch['centers2d']),
+            flat(batch['gt_mask_2d']))
 
 
 @MODELS.register_module()
@@ -341,6 +398,191 @@ class FocalHead(nn.Module):
         return refs, dict(cls=cls.reshape(B, N, fH, fW, -1),
                           ctr=ctr.reshape(B, N, fH, fW),
                           depth=d.reshape(B, N, fH, fW))
+
+
+def pos2posemb3d(pos, num_pos_feats=128, temperature=10000.0):
+    """Sin/cos embedding of normalized 3D points -> [..., 3*num_pos_feats]
+    (ref projects/StreamPETR .../utils/positional_encoding.py:16-29;
+    channel order y, x, z as the reference concatenates)."""
+    scale = 2 * np.pi
+    pos = pos * scale
+    dim_t = jnp.arange(num_pos_feats, dtype=jnp.float32)
+    dim_t = temperature ** (2 * (dim_t // 2) / num_pos_feats)
+
+    def enc(p):
+        v = p[..., None] / dim_t
+        return jnp.stack([jnp.sin(v[..., 0::2]), jnp.cos(v[..., 1::2])],
+                         -1).reshape(v.shape[:-1] + (-1,))
+    return jnp.concatenate([enc(pos[..., 1]), enc(pos[..., 0]),
+                            enc(pos[..., 2])], -1)
+
+
+def pos2posemb1d(pos, num_pos_feats=256, temperature=10000.0):
+    """Ref positional_encoding.py:31-41."""
+    scale = 2 * np.pi
+    v = pos * scale / (temperature ** (
+        2 * (jnp.arange(num_pos_feats, dtype=jnp.float32) // 2)
+        / num_pos_feats))
+    return jnp.concatenate([jnp.sin(v[..., 0::2]), jnp.cos(v[..., 1::2])],
+                           -1)
+
+
+def nerf_positional_encoding(x, num_encoding_functions=6):
+    """NeRF frequency encoding (ref positional_encoding.py:43-76,
+    log-sampled bands, input excluded)."""
+    bands = 2.0 ** jnp.linspace(0.0, num_encoding_functions - 1,
+                                num_encoding_functions)
+    v = x[..., None] * bands                               # [..., D, F]
+    out = jnp.stack([jnp.sin(v), jnp.cos(v)], -1)
+    return out.reshape(x.shape[:-1] + (-1,))
+
+
+class MLN(nn.Module):
+    """Motion-aware LayerNorm: affine-free LN then FiLM-style gamma/beta
+    predicted from a condition code (ref sparse_head.py:946-983; gamma
+    initialized to ones via zero weight + ones bias)."""
+    f_dim: int = 256
+
+    @nn.compact
+    def __call__(self, x, c):
+        x = nn.LayerNorm(use_bias=False, use_scale=False)(x)
+        c = nn.relu(nn.Dense(self.f_dim, name='reduce')(c))
+        gamma = nn.Dense(self.f_dim, name='gamma',
+                         kernel_init=nn.initializers.zeros,
+                         bias_init=nn.initializers.ones)(c)
+        beta = nn.Dense(self.f_dim, name='beta',
+                        kernel_init=nn.initializers.zeros)(c)
+        return gamma * x + beta
+
+
+@MODELS.register_module()
+class SparseHead(nn.Module):
+    """Fully-sparse StreamPETR decoder head (ref projects/StreamPETR
+    stream_petr/models/dense_heads/sparse_head.py:29 — the RepDETR3D
+    head): queries embedded with sin/cos pos2posemb3d, temporal memory
+    aligned via MLN conditioning on (velocity, timestamp, ego-pose) NeRF
+    codes (ref temporal_alignment:244-287), a time embedding separating
+    current from propagated queries, and optional 2D-prior reference
+    points from an auxiliary image head (the repdetr3d.py:169-175 flow
+    where YOLOX/Focal 2D centers seed 3D queries).
+
+    TPU design: memory is a fixed-size pytree (feat/ref/velo/timestamp/
+    egopose/valid) so one frame step is a single jittable function; the
+    decoder cross-attends dense image tokens exactly like PETRHead
+    (the reference's flash/deformable options collapse to one fused MXU
+    attention here).
+    """
+    num_classes: int = 10
+    embed_dims: int = 256
+    num_query: int = 256
+    num_layers: int = 3
+    nhead: int = 8
+    depth_num: int = 64
+    num_memory: int = 128
+    num_priors: int = 0
+    with_velocity: bool = True
+    position_range: Any = (-61.2, -61.2, -10.0, 61.2, 61.2, 10.0)
+    pc_range: Any = (-51.2, -51.2, -5.0, 51.2, 51.2, 3.0)
+    image_size: Any = (256, 704)
+    code_weights: Any = (1., 1., 1., 1., 1., 1., 1., 1., 0.2, 0.2)
+    loss_cls_weight: float = 2.0
+    loss_bbox_weight: float = 0.25
+    max_num: int = 300
+
+    def _heads(self, q, ref_b, li):
+        h = nn.LayerNorm(name=f'post_norm_{li}')(q)
+        cls = nn.Dense(self.num_classes, name=f'cls_{li}')(
+            nn.relu(nn.Dense(self.embed_dims, name=f'cls_fc_{li}')(h)))
+        code = 10 if self.with_velocity else 8
+        reg = nn.Dense(code, name=f'reg_{li}')(
+            nn.relu(nn.Dense(self.embed_dims, name=f'reg_fc_{li}')(h)))
+        xyz = jax.nn.sigmoid(reg[..., :3] + inverse_sigmoid(ref_b))
+        return cls, jnp.concatenate([xyz, reg[..., 3:]], -1)
+
+    @nn.compact
+    def __call__(self, img_feats, cam_params, image_size=None,
+                 memory=None, prior_refs=None, train: bool = False):
+        from ..dense_heads.petr_head import PETRDecoderLayer, PETRHead
+        image_size = tuple(image_size or self.image_size)
+        B, N, fH, fW, C = img_feats.shape
+        kv = nn.Dense(self.embed_dims, name='input_proj')(
+            img_feats.reshape(B, N * fH * fW, C))
+        k_pos = PETRHead._position_encoding_3d(
+            self, img_feats.shape, cam_params, image_size).astype(kv.dtype)
+
+        ref = self.param('reference_points',
+                         nn.initializers.uniform(scale=1.0),
+                         (self.num_query, 3))
+        ref_b = jnp.broadcast_to(ref[None], (B,) + ref.shape)
+        if prior_refs is not None:
+            ref_b = jnp.concatenate([ref_b, prior_refs], 1)
+        n_cur = ref_b.shape[1]
+        q = jnp.zeros((B, n_cur, self.embed_dims), kv.dtype)
+
+        qe1 = nn.Dense(self.embed_dims, name='query_emb_fc1')
+        qe2 = nn.Dense(self.embed_dims, name='query_emb_fc2')
+
+        def query_embed(r):
+            return qe2(nn.relu(qe1(pos2posemb3d(r).astype(kv.dtype))))
+
+        q_pos = query_embed(ref_b)
+        # current-frame ego code: zero motion + identity rotation
+        # (ref temporal_alignment:256-262)
+        eye = jnp.broadcast_to(jnp.eye(4)[:3, :].reshape(-1),
+                               (B, n_cur, 12))
+        cur_code = nerf_positional_encoding(
+            jnp.concatenate([jnp.zeros((B, n_cur, 3)), eye], -1)
+        ).astype(kv.dtype)
+        ego_pose_memory = MLN(self.embed_dims, name='ego_pose_memory')
+        ego_pose_pe = MLN(self.embed_dims, name='ego_pose_pe')
+        q = ego_pose_memory(q, cur_code)
+        q_pos = ego_pose_pe(q_pos, cur_code)
+
+        te1 = nn.Dense(self.embed_dims, name='time_emb_fc1')
+        te2 = nn.Dense(self.embed_dims, name='time_emb_fc2')
+
+        def time_embed(t):
+            return te2(nn.relu(te1(pos2posemb1d(t).astype(kv.dtype))))
+
+        q_pos = q_pos + time_embed(jnp.zeros((B, n_cur, 1)))
+        if memory is not None:
+            mvalid = memory['valid'][..., None]
+            mref = memory['ref']
+            m_pos = query_embed(mref)
+            # 2-dim velocity + timestamp + 12 pose = 15 dims, matching the
+            # current-frame code (3 zeros + 12 pose) so the MLN modules
+            # are shared (ref temporal_alignment:256-268)
+            m_code = nerf_positional_encoding(jnp.concatenate(
+                [memory['velo'][..., :2], memory['timestamp'],
+                 memory['egopose'][..., :3, :].reshape(
+                     memory['egopose'].shape[:-2] + (12,))],
+                -1)).astype(kv.dtype)
+            mfeat = ego_pose_memory(memory['feat'].astype(kv.dtype),
+                                    m_code) * mvalid
+            m_pos = (ego_pose_pe(m_pos, m_code)
+                     + time_embed(memory['timestamp'])) * mvalid
+            q = jnp.concatenate([q, mfeat], 1)
+            q_pos = jnp.concatenate([q_pos, m_pos], 1)
+            ref_b = jnp.concatenate([ref_b, mref], 1)
+
+        all_cls, all_bbox = [], []
+        for li in range(self.num_layers):
+            q = PETRDecoderLayer(self.embed_dims, self.nhead,
+                                 name=f'layer_{li}')(q, kv, q_pos, k_pos)
+            cls, reg = self._heads(q, ref_b, li)
+            all_cls.append(cls)
+            all_bbox.append(reg)
+        return dict(all_cls=jnp.stack(all_cls),
+                    all_bbox=jnp.stack(all_bbox), reference=ref_b,
+                    query_feat=q)
+
+    # loss/predict: delegate to the PETRHead implementations (same
+    # normalized box parameterization)
+    loss_by_feat = PETRHead.loss_by_feat
+    predict_by_feat = PETRHead.predict_by_feat
+    decode_layer = PETRHead.decode_layer
+    _denorm_center = PETRHead._denorm_center
+    _encode_gt = PETRHead._encode_gt
 
 
 @MODELS.register_module()

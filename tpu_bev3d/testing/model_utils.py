@@ -47,7 +47,7 @@ def create_multimodal_inputs(rng=None, batch_size=1, num_points=512,
                              point_dim=5, num_gt=8, num_classes=10,
                              num_cams=6, image_size=(256, 704),
                              pc_range=(-54, -54, -5, 54, 54, 3),
-                             with_velocity=True):
+                             with_velocity=True, with_2d_gt=False):
     """LiDAR + multi-camera batch with plausible camera calibration.
 
     Cameras sit at the origin looking outward at evenly-spaced azimuths,
@@ -96,6 +96,43 @@ def create_multimodal_inputs(rng=None, batch_size=1, num_points=512,
     batch['post_rots'] = tile(np.tile(np.eye(3, dtype=np.float32),
                                       (num_cams, 1, 1)))
     batch['post_trans'] = tile(np.zeros((num_cams, 3), np.float32))
+
+    if not with_2d_gt:
+        return batch
+    # per-camera 2D GT: project 3D centers, synthesize boxes from the
+    # projected size (the aux-2D supervision the reference loads per
+    # camera — StreamPETR loading.py centers2d/gt_bboxes plumbing)
+    G = batch['gt_bboxes_3d'].shape[1]
+    gtb = batch['gt_bboxes_3d']
+    boxes2d = np.zeros((batch_size, num_cams, G, 4), np.float32)
+    centers2d = np.zeros((batch_size, num_cams, G, 2), np.float32)
+    labels2d = np.zeros((batch_size, num_cams, G), np.int32)
+    mask2d = np.zeros((batch_size, num_cams, G), bool)
+    for b in range(batch_size):
+        hom = np.concatenate([gtb[b, :, :3],
+                              np.ones((G, 1), np.float32)], -1)
+        for c in range(num_cams):
+            p = hom @ lidar2img[c].T                       # [G, 4]
+            z = p[:, 2]
+            u, v = p[:, 0] / np.maximum(z, 1e-3), p[:, 1] / np.maximum(
+                z, 1e-3)
+            size_px = fx * np.maximum(gtb[b, :, 3], 0.5) / np.maximum(
+                z, 1e-3)
+            ok = (z > 0.5) & (u > 0) & (u < W) & (v > 0) & (v < H) \
+                & batch['gt_mask'][b].astype(bool)
+            boxes2d[b, c] = np.stack(
+                [np.clip(u - size_px / 2, 0, W - 1),
+                 np.clip(v - size_px / 2, 0, H - 1),
+                 np.clip(u + size_px / 2, 1, W),
+                 np.clip(v + size_px / 2, 1, H)], -1)
+            centers2d[b, c] = np.stack([np.clip(u, 0, W - 1),
+                                        np.clip(v, 0, H - 1)], -1)
+            labels2d[b, c] = batch['gt_labels_3d'][b]
+            mask2d[b, c] = ok
+    batch['gt_bboxes_2d'] = boxes2d
+    batch['gt_labels_2d'] = np.clip(labels2d, 0, None)
+    batch['centers2d'] = centers2d
+    batch['gt_mask_2d'] = mask2d
     return batch
 
 
