@@ -1,0 +1,28 @@
+# MonoFlex KITTI monocular (ref config:
+# configs/monoflex/monoflex_dla34_pytorch_dlaneck_gn-all_2x4_6x_kitti-mono3d.py).
+class_names = ['Pedestrian', 'Cyclist', 'Car']
+
+model = dict(
+    type='MonoFlex',
+    img_backbone=dict(type='DLA', depths=(1, 1, 1, 2, 2, 1),
+                      channels=(16, 32, 64, 128, 256, 512)),
+    img_neck=dict(type='GeneralizedLSSFPN', in_channels=[128, 256, 512],
+                  out_channels=64, num_outs=1),
+    bbox_head=dict(
+        type='MonoFlexHead',
+        num_classes=3,
+        in_channels=64,
+        feat_channels=64,
+        stride=4,
+        max_num=100),
+)
+
+train_cfg = dict(
+    max_epochs=72,
+    optimizer=dict(type='adamw', lr=0.0003, weight_decay=0.00001),
+    scheduler=dict(type='step', milestones=[50], gamma=0.1),
+    clip_grad_norm=35.0,
+    batch_size=16,
+)
+
+data_root = 'data/kitti/'

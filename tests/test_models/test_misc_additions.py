@@ -115,3 +115,25 @@ def test_paconv_sa_module():
     wb = v['params']['paconv0']['weight_bank']
     r = PAConv.corr_loss(wb)
     assert float(r) > 0 and np.isfinite(float(r))
+
+
+def test_pointnet2_paconv_backbone():
+    """sa_module='paconv' routes SA through PAConvSAModule (configs/paconv)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from tpu_bev3d.registry import MODELS
+    m = MODELS.build(dict(
+        type='PointNet2SASSG', in_channels=4, sa_module='paconv',
+        paconv_kernels=4, num_points=(32, 16), radius=(0.5, 1.0),
+        num_samples=(8, 8), sa_channels=((8, 8), (16, 16)),
+        fp_channels=((16, 16),)))
+    rng = np.random.default_rng(0)
+    pts = jnp.asarray(rng.normal(size=(2, 64, 4)).astype(np.float32))
+    mask = jnp.ones((2, 64), bool)
+    v = m.init(jax.random.PRNGKey(0), pts, mask)
+    flat = jax.tree_util.tree_flatten_with_path(v['params'])[0]
+    assert any('paconv' in str(path) for path, _ in flat)
+    out, _ = m.apply(v, pts, mask, mutable=['batch_stats'])
+    assert out['fp_features'].shape == (2, 32, 16)
+    assert np.isfinite(np.asarray(out['fp_features'])).all()

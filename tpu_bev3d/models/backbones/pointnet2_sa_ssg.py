@@ -10,7 +10,8 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ...registry import MODELS
-from ..layers.pointnet_modules import PointFPModule, PointSAModule
+from ..layers.pointnet_modules import (PAConvSAModule, PointFPModule,
+                                       PointSAModule)
 
 
 class _PointNet2Single(nn.Module):
@@ -20,6 +21,9 @@ class _PointNet2Single(nn.Module):
     num_samples: Sequence[int]
     sa_channels: Sequence[Sequence[int]]
     fp_channels: Sequence[Sequence[int]]
+    sa_module: str = 'standard'   # 'standard' | 'paconv' (ref
+    # backbones/pointnet2_sa_ssg.py sa_cfg type=PAConvSAModule)
+    paconv_kernels: int = 8
 
     @nn.compact
     def __call__(self, pts, mask, train: bool = False):
@@ -27,10 +31,17 @@ class _PointNet2Single(nn.Module):
         feats = pts[:, 3:] if pts.shape[1] > 3 else None
         sa_xyz, sa_feats, sa_masks = [xyz], [feats], [mask]
         for i in range(len(self.num_points)):
-            nx, nf, nm, _ = PointSAModule(
-                self.num_points[i], self.radius[i], self.num_samples[i],
-                tuple(self.sa_channels[i]),
-                name=f'sa{i}')(sa_xyz[-1], sa_feats[-1], sa_masks[-1],
+            if self.sa_module == 'paconv':
+                sa = PAConvSAModule(
+                    self.num_points[i], self.radius[i],
+                    self.num_samples[i], tuple(self.sa_channels[i]),
+                    num_kernels=self.paconv_kernels, name=f'sa{i}')
+            else:
+                sa = PointSAModule(
+                    self.num_points[i], self.radius[i],
+                    self.num_samples[i], tuple(self.sa_channels[i]),
+                    name=f'sa{i}')
+            nx, nf, nm, _ = sa(sa_xyz[-1], sa_feats[-1], sa_masks[-1],
                                train)
             sa_xyz.append(nx)
             sa_feats.append(nf)
@@ -56,6 +67,8 @@ class PointNet2SASSG(nn.Module):
     sa_channels: Sequence[Sequence[int]] = (
         (64, 64, 128), (128, 128, 256), (128, 128, 256), (128, 128, 256))
     fp_channels: Sequence[Sequence[int]] = ((256, 256), (256, 256))
+    sa_module: str = 'standard'   # 'paconv' → PAConv SA layers
+    paconv_kernels: int = 8
 
     @nn.compact
     def __call__(self, points, points_mask, train: bool = False):
@@ -71,4 +84,5 @@ class PointNet2SASSG(nn.Module):
                   tuple(self.num_samples),
                   tuple(tuple(c) for c in self.sa_channels),
                   tuple(tuple(c) for c in self.fp_channels),
+                  self.sa_module, self.paconv_kernels,
                   name='net')(points, points_mask, train)
