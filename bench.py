@@ -34,11 +34,14 @@ def main():
     jfn = jax.jit(fn)
 
     # distinct pre-uploaded batches (device_put from host — lazily computed
-    # device inputs have produced bogus timings through the tunnel)
+    # device inputs have produced bogus timings through the tunnel; identical
+    # repeated args get memoized by the tunnel, so EVERY iteration gets its
+    # own input)
     import numpy as np
-    batches = [batch]
+    n_iter = 12
     host_pts = np.asarray(batch['points'])
-    for i in range(1, 4):
+    batches = [batch]
+    for i in range(1, n_iter):
         b = dict(batch)
         b['points'] = jax.device_put(host_pts + np.float32(0.001 * i))
         batches.append(b)
@@ -47,10 +50,16 @@ def main():
     for b in batches:
         jax.block_until_ready(jfn(variables, b))
 
-    n_iter = 12
+    # throughput protocol: enqueue all frames, then block on each output in
+    # submission order. The device executes back-to-back; the ~23 ms
+    # host<->device RTT of this remote-TPU tunnel is paid once instead of
+    # per frame (the reference's per-iter torch.cuda.synchronize costs
+    # microseconds on a local GPU — paying a remote tunnel round trip per
+    # frame would measure the tunnel, not the chip).
     t0 = time.perf_counter()
-    for i in range(n_iter):
-        jax.block_until_ready(jfn(variables, batches[i % len(batches)]))
+    outs = [jfn(variables, batches[i]) for i in range(n_iter)]
+    for o in outs:
+        jax.block_until_ready(o)
     dt = time.perf_counter() - t0
     bsz = batch['points'].shape[0]
     fps = n_iter * bsz / dt

@@ -63,6 +63,7 @@ def test_runner_train_and_test(mini_data, tmp_path):
         train_dataloader=dict(dataset=ds_cfg),
         test_dataloader=dict(dataset=dict(**ds_cfg, test_mode=False)),
         test_evaluator=dict(type='KittiMetric'),
+        custom_hooks=[dict(type='Det3DVisualizationHook')],
         num_workers=0,
         log_interval=1,
     ))
@@ -74,5 +75,34 @@ def test_runner_train_and_test(mini_data, tmp_path):
     ckpts = [d for d in os.listdir(tmp_path / 'wd')
              if d.startswith('ckpt_')]
     assert ckpts
+    # visualization hook rendered a val-sample BEV
+    assert os.path.exists(tmp_path / 'wd' / 'vis' / 'epoch1.png')
     out = runner.test()
     assert 'm3d_AP40' in out
+
+
+def test_visualization_hook_renders(tmp_path):
+    """Det3DVisualizationHook writes a BEV PNG from runner val state."""
+    import numpy as np
+    from tpu_bev3d.engine.hooks import Det3DVisualizationHook
+
+    class FakeRunner:
+        pass
+
+    r = FakeRunner()
+    rng = np.random.default_rng(0)
+    r.last_val_batch = dict(
+        points=rng.normal(size=(1, 64, 5)).astype(np.float32) * 10,
+        points_mask=np.ones((1, 64), bool),
+        gt_bboxes_3d=np.asarray([[[1, 2, 0, 4, 2, 1.5, 0.3]]], np.float32),
+        gt_mask=np.ones((1, 1), bool))
+    r.last_val_preds = dict(
+        bboxes=np.asarray([[[0, 0, 0, 4, 2, 1.5, 0.0],
+                            [5, 5, 0, 2, 1, 1.0, 1.0]]], np.float32),
+        scores=np.asarray([[0.9, 0.1]], np.float32),
+        labels=np.asarray([[0, 1]], np.int32))
+    hook = Det3DVisualizationHook(str(tmp_path), interval_epochs=1)
+    hook.after_epoch(r, 0)
+    import os
+    assert os.path.exists(os.path.join(str(tmp_path), 'vis',
+                                       'epoch1.png'))

@@ -108,3 +108,47 @@ class DisableObjectSampleHook(Hook):
         for t in cells.get('tfs', []):
             if type(t).__name__ == 'ObjectSample':
                 t.disabled = True
+
+
+class Det3DVisualizationHook(Hook):
+    """Render one val sample's BEV predictions per epoch (ref
+    mmdet3d/engine/hooks/visualization_hook.py:97-160 — the reference
+    draws val/test predictions at `interval`; headless analogue writes
+    PNGs to work_dir/vis via Det3DVisualizer.draw_bev)."""
+
+    def __init__(self, work_dir: str, interval_epochs: int = 1,
+                 score_thr: float = 0.3,
+                 pc_range=(-54, -54, 54, 54)):
+        import os
+        self.dir = os.path.join(work_dir, 'vis')
+        os.makedirs(self.dir, exist_ok=True)
+        self.interval = interval_epochs
+        self.score_thr = score_thr
+        self.pc_range = tuple(pc_range)
+
+    def after_epoch(self, runner, epoch):
+        if (epoch + 1) % self.interval:
+            return
+        batch = getattr(runner, 'last_val_batch', None)
+        preds = getattr(runner, 'last_val_preds', None)
+        if batch is None or preds is None:
+            return
+        import os
+        import numpy as np
+        from ..visualization.visualizer import Det3DVisualizer
+        vis = Det3DVisualizer()
+        pts = np.asarray(batch['points'][0])
+        msk = np.asarray(batch.get('points_mask', [None])[0]) \
+            if 'points_mask' in batch else None
+        if msk is not None:
+            pts = pts[msk.astype(bool)]
+        keep = np.asarray(preds['scores'][0]) > self.score_thr
+        vis.draw_bev(
+            points=pts,
+            gt_bboxes=np.asarray(batch['gt_bboxes_3d'][0])[
+                np.asarray(batch['gt_mask'][0]).astype(bool)]
+            if 'gt_bboxes_3d' in batch else None,
+            pred_bboxes=np.asarray(preds['bboxes'][0])[keep],
+            pred_labels=np.asarray(preds['labels'][0])[keep],
+            out_file=os.path.join(self.dir, f'epoch{epoch + 1}.png'),
+            pc_range=self.pc_range)

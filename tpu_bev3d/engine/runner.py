@@ -98,6 +98,12 @@ class Runner:
             if hcfg.get('type') == 'DisableObjectSampleHook':
                 hooks.append(DisableObjectSampleHook(
                     hcfg.get('disable_after_epoch', 15)))
+            elif hcfg.get('type') == 'Det3DVisualizationHook':
+                from .hooks import Det3DVisualizationHook
+                hooks.append(Det3DVisualizationHook(
+                    self.work_dir,
+                    hcfg.get('interval_epochs', 1),
+                    hcfg.get('score_thr', 0.3)))
 
         # optional profiler trace (ref BenchmarkHook + jax.profiler; set
         # cfg.profile_steps = [start, end] to capture a trace)
@@ -122,9 +128,33 @@ class Runner:
                     jax.profiler.stop_trace()
                 for h in hooks:
                     h.after_iter(self, step, metrics)
+            self._maybe_val_sample(hooks)
             for h in hooks:
                 h.after_epoch(self, epoch)
         return self.state
+
+    def _maybe_val_sample(self, hooks):
+        """Run predict on one val batch for Det3DVisualizationHook (the
+        reference renders inside the val loop; this Runner validates via
+        test(), so the hook gets a single-batch sample per epoch)."""
+        from .hooks import Det3DVisualizationHook
+        if not any(isinstance(h, Det3DVisualizationHook) for h in hooks):
+            return
+        vcfg = self.cfg.get('val_dataloader') or self.cfg.get(
+            'test_dataloader')
+        if not vcfg:
+            return
+        import jax.numpy as jnp
+        if not hasattr(self, '_vis_loader'):
+            _, self._vis_loader = self._build_loader(vcfg.dataset,
+                                                     shuffle=False)
+            self._vis_eval_fn = make_eval_step(self.model)
+        host_batch = next(iter(self._vis_loader))
+        batch = {k: jnp.asarray(v) for k, v in host_batch.items()
+                 if k != 'metainfo'}
+        self.last_val_batch = host_batch
+        self.last_val_preds = jax.device_get(
+            self._vis_eval_fn(self.state, batch))
 
     # ---------------------------------------------------------- evaluation
 

@@ -55,6 +55,9 @@ class BEVFusion(nn.Module):
     point_cloud_range: Any = (-54.0, -54.0, -5.0, 54.0, 54.0, 3.0)
     max_num_points: int = 10
     max_voxels: int = 120000
+    # route points straight into the middle encoder's sort-free fused
+    # scatter (BEVColumnEncoder.encode-points path)
+    fused_voxelize: bool = False
     depth_loss_weight: float = 1.0
     # 'bfloat16' runs backbones/necks/sparse conv in bf16 with fp32 islands
     # (view-transform geometry + head), mirroring the reference's AMP
@@ -81,6 +84,12 @@ class BEVFusion(nn.Module):
     def extract_pts_feat(self, points, points_mask, train=False):
         """Ref extract_pts_feat:195-256: hard-voxelize + mean reduce fused."""
         B = points.shape[0]
+        if self.fused_voxelize:
+            # sort-free points→canvas path (BEVColumnEncoder fast path,
+            # see fused_point_stem_scatter): skips hard-voxelize entirely
+            return self._middle_encoder(
+                points=points.astype(jnp.dtype(self.compute_dtype)),
+                points_mask=points_mask, train=train)
         vox = batch_hard_voxelize(
             points, points_mask, voxel_size=tuple(self.voxel_size),
             pc_range=tuple(self.point_cloud_range),
