@@ -1,0 +1,36 @@
+# BEVFusion L+C — the TPU-fast flagship variant benchmarked in bench.py.
+#
+# Deviations from the reference model (all documented TPU-first
+# redesigns; use bevfusion_lidar_cam_voxel0075_second_secfpn_nus.py for
+# checkpoint-parity work):
+# - BEVColumnEncoder replaces the sparse 3D encoder: z folded into
+#   channels at scatter time with the stem 1x1 conv fused into the
+#   scatter (fused_stem_scatter) — all compute is large 2D MXU convs.
+# - bfloat16 compute with fp32 islands (view-transform geometry, head).
+# - depth_topk sparsified LSS lift: only the top-k depth bins per pixel
+#   are scattered (softmax depth mass is sharply peaked; exact mode via
+#   depth_topk=0).
+_base_ = './bevfusion_lidar_cam_voxel0075_second_secfpn_nus.py'
+
+model = dict(
+    max_voxels=68000,
+    compute_dtype='bfloat16',
+    # window 8 removes Swin's pad waste at 256x704 (w=7 pads stages by
+    # +13/+13/+47/+100%; w=8 by +0/+0/+9/+9%) — measured +12% e2e fps.
+    # Torch w=7 checkpoints import via rel-pos-bias interpolation.
+    img_backbone=dict(window_size=8),
+    view_transform=dict(depth_topk=24),
+    middle_encoder=dict(
+        _delete_=True,
+        type='BEVColumnEncoder',
+        in_channels=5,
+        sparse_shape=[41, 1440, 1440],
+        fused_stem=True,
+        pack_xy=4,
+        stem_channels=128,
+        stage_channels=[128, 256, 256],
+        stage_strides=[1, 2, 1],
+        output_channels=256,
+        voxel_size=[0.075, 0.075, 0.2],
+        point_cloud_range=[-54.0, -54.0, -5.0, 54.0, 54.0, 3.0]),
+)

@@ -138,14 +138,14 @@ def test_streampetr_with_yolox_aux_and_sparse_head():
         image_size=[64, 96],
         num_propagated=4,
         img_backbone=dict(
-            type='SwinTransformer', embed_dims=32, depths=[2, 2, 2],
-            num_heads=[2, 4, 8], window_size=7, out_indices=[0, 1, 2]),
+            type='SwinTransformer', embed_dims=32, depths=[2, 2],
+            num_heads=[2, 4], window_size=7, out_indices=[0, 1]),
         img_neck=dict(
-            type='GeneralizedLSSFPN', in_channels=[32, 64, 128],
+            type='GeneralizedLSSFPN', in_channels=[32, 64],
             out_channels=32, num_outs=2),
         img_roi_head=dict(
             type='YOLOXHead2D', num_classes=10, in_channels=32,
-            feat_channels=32, stacked_convs=1, strides=(8, 16)),
+            feat_channels=32, stacked_convs=1, strides=(4, 8)),
         bbox_head=dict(
             type='SparseHead', num_classes=10, embed_dims=32,
             num_query=8, num_layers=2, nhead=2, depth_num=4, max_num=8,

@@ -62,3 +62,22 @@ def test_convert_into_model_tree():
     assert out['params']['Conv_0']['kernel'].shape == (3, 3, 3, 8)
     assert np.allclose(out['batch_stats']['BatchNorm_0']['mean'],
                        sd['block.bn.running_mean'].numpy())
+
+
+def test_relpos_bias_resample():
+    """Window-7 torch bias tables import into a window-8 flax Swin via
+    bicubic resampling (identity when windows match)."""
+    import numpy as np
+    from tpu_bev3d.utils.torch_convert import relpos_bias_resample
+
+    rng = np.random.default_rng(0)
+    t7 = rng.normal(size=(13 * 13, 3)).astype(np.float32)
+    same = relpos_bias_resample(t7, 7)
+    np.testing.assert_array_equal(same, t7)
+    t8 = relpos_bias_resample(t7, 8)
+    assert t8.shape == (15 * 15, 3)
+    # resampling preserves the smooth structure: a constant table stays
+    # constant
+    const = np.ones((13 * 13, 2), np.float32)
+    out = relpos_bias_resample(const, 8)
+    np.testing.assert_allclose(out, 1.0, rtol=1e-5)

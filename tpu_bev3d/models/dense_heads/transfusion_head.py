@@ -189,11 +189,16 @@ class BEVFusionHead(nn.Module):
                          train=train)                      # [B,Q,hid]
 
         res = self.prediction_head(q[:, :, None], train)   # maps on [B,Q,1,·]
-        res = {kk: v[:, :, 0] for kk, v in res.items()}    # [B,Q,·]
-        res['center'] = res['center'] + q_pos              # ref :300-302
+        # decode precision: predictions leave the head in fp32 regardless
+        # of compute dtype (center offsets add to grid coords up to H=180,
+        # where bf16 ULP is 1.0 — half a voxel of error)
+        res = {kk: v[:, :, 0].astype(jnp.float32)
+               for kk, v in res.items()}                   # [B,Q,·]
+        res['center'] = res['center'] + q_pos.astype(jnp.float32)
         res['query_heatmap_score'] = jnp.take_along_axis(
-            hm.reshape(B, H * W, self.num_classes), pix[..., None], 1)
-        res['dense_heatmap'] = heatmap
+            hm.reshape(B, H * W, self.num_classes),
+            pix[..., None], 1).astype(jnp.float32)
+        res['dense_heatmap'] = heatmap.astype(jnp.float32)
         res['query_labels'] = top_cls
         return res
 

@@ -63,6 +63,9 @@ class BEVFusion(nn.Module):
     # (view-transform geometry + head), mirroring the reference's AMP
     # autocast islands (bevfusion.py:177,201; tools/train.py:92-104)
     compute_dtype: str = 'float32'
+    # the head's matmuls/convs can run in bf16 (decode + loss paths stay
+    # fp32 inside the head — see transfusion_head.py fp32 cast)
+    head_dtype: str = 'float32'
 
     def setup(self):
         self._voxel_encoder = MODELS.build(dict(self.voxel_encoder)) \
@@ -143,8 +146,9 @@ class BEVFusion(nn.Module):
 
     def __call__(self, batch, mode: str = 'tensor', train: bool = False):
         x, depth_logits, cam_params = self.extract_feat(batch, train)
-        # fp32 island for the head (heatmap sigmoid / decode precision)
-        res = self._bbox_head(x.astype(jnp.float32), train=train)
+        # head island: fp32 by default; bf16 opt-in keeps decode fp32
+        res = self._bbox_head(x.astype(jnp.dtype(self.head_dtype)),
+                              train=train)
         if mode == 'tensor':
             return res
         if mode == 'loss':

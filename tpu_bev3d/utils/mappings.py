@@ -45,7 +45,8 @@ def _linear(torch_name: str, flax_path: Tuple[str, ...],
 def swin_mapping(prefix: str = 'img_backbone.',
                  flax_prefix: Tuple[str, ...] = ('_img_backbone',),
                  depths=(2, 2, 6, 2),
-                 out_indices=(1, 2, 3)) -> Dict[str, Tuple[str, ...]]:
+                 out_indices=(1, 2, 3),
+                 window_size: int = 7) -> Dict[str, Tuple[str, ...]]:
     """mmdet SwinTransformer → models/backbones/swin.py.
 
     Torch layout: patch_embed.projection/.norm, stages.S.blocks.B.{norm1,
@@ -66,7 +67,11 @@ def swin_mapping(prefix: str = 'img_backbone.',
             tb = f'{P}stages.{s}.blocks.{b}'
             fb = F + (f'stage{s}_block{b}',)
             m.update(_ln(f'{tb}.norm1', fb + ('LayerNorm_0',)))
-            m[f'{tb}.attn.w_msa.relative_position_bias_table'] = \
+            # |relpos<w>: bicubic-resamples the (2w'-1)² bias table when
+            # the target window differs (e.g. the TPU-fast window-8
+            # flagship importing window-7 torch checkpoints)
+            m[f'{tb}.attn.w_msa.relative_position_bias_table'
+              f'|relpos{window_size}'] = \
                 ('params',) + fb + ('WindowAttention_0', 'rel_pos_bias')
             m.update(_linear(f'{tb}.attn.w_msa.qkv',
                              fb + ('WindowAttention_0', 'qkv')))
@@ -319,7 +324,8 @@ def bevfusion_mapping(model_cfg: dict) -> Dict[str, Tuple[str, ...]]:
     (every block's table is individually forward-verified in
     tests/test_utils/test_flagship_parity.py)."""
     m: Dict[str, Tuple[str, ...]] = {}
-    m.update(swin_mapping())
+    m.update(swin_mapping(
+        window_size=model_cfg['img_backbone'].get('window_size', 7)))
     m.update(lss_fpn_mapping(
         num_ins=len(model_cfg['img_neck']['in_channels'])))
     m.update(depth_lss_mapping(

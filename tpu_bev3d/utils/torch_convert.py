@@ -89,6 +89,22 @@ def sparse_conv_kernel(w):
     return w.reshape(kz * ky * kx, I, O)
 
 
+def relpos_bias_resample(t, window_target: int) -> np.ndarray:
+    """Swin relative-position bias table [(2w'-1)², h] → target window's
+    [(2w-1)², h] by bicubic resampling of the 2D bias grid — the standard
+    Swin window-transfer recipe (used e.g. when finetuning at a new
+    window/resolution). Identity when windows match."""
+    a = _to_np(t)
+    src = int(round(np.sqrt(a.shape[0])))
+    tgt = 2 * window_target - 1
+    if src == tgt:
+        return a
+    img = a.reshape(src, src, -1)
+    import jax
+    out = jax.image.resize(img, (tgt, tgt, img.shape[-1]), method='cubic')
+    return np.asarray(out).reshape(tgt * tgt, -1)
+
+
 def load_torch_state_dict(path: str) -> Dict[str, Any]:
     import torch
     ckpt = torch.load(path, map_location='cpu', weights_only=False)
@@ -136,7 +152,10 @@ def convert_torch_checkpoint(state_dict, variables: dict,
             if verbose:
                 print(f'[convert] MISSING in torch ckpt: {name}')
             continue
-        val = converters[tag or 'raw'](state_dict[name])
+        if tag.startswith('relpos'):
+            val = relpos_bias_resample(state_dict[name], int(tag[6:]))
+        else:
+            val = converters[tag or 'raw'](state_dict[name])
         set_in_tree(out, fpath, val)
         used.add(name)
     if verbose:
