@@ -112,3 +112,27 @@ def test_nuscenes_converter(tmp_path):
     s = ds[0]
     assert s['gt_bboxes_3d'].shape == (8, 9)
     assert s['gt_mask'].sum() == 1
+
+    # 2D annotations: the converter projects the instance into CAM_FRONT
+    anns2d = i0['images']['CAM_FRONT'].get('instances_2d')
+    assert anns2d is not None
+    if anns2d:   # visibility depends on geometry; when visible, check
+        a = anns2d[0]
+        x0, y0, x1, y1 = a['bbox']
+        assert x1 > x0 and y1 > y0 and a['depth'] > 0
+        assert x0 <= a['center2d'][0] <= x1 + 50
+
+    # packing: max_gt_2d emits padded per-camera 2D GT
+    ds2 = NuScenesDataset(
+        data_root=str(tmp_path), ann_file=os.path.basename(out),
+        modality=dict(use_lidar=True, use_camera=True),
+        pipeline=[
+            dict(type='LoadPointsFromFile', load_dim=5, use_dim=5),
+            dict(type='LoadAnnotations3D'),
+            dict(type='Pack3DDetInputs', num_points=512, max_gt=8,
+                 box_dim=9, max_gt_2d=4)])
+    s2 = ds2[0]
+    assert s2['gt_bboxes_2d'].shape == (1, 4, 4)   # 1 camera, 4 slots
+    assert s2['centers2d'].shape == (1, 4, 2)
+    assert s2['gt_mask_2d'].shape == (1, 4)
+    assert s2['gt_mask_2d'].sum() == len(anns2d)

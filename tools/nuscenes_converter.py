@@ -71,9 +71,42 @@ CLASSES = ['car', 'truck', 'construction_vehicle', 'bus', 'trailer',
            'traffic_cone']
 
 
+def _project_box_2d(bbox_3d, lidar2cam, cam2img, im_w, im_h):
+    """3D lidar box → clipped 2D xyxy + projected center + depth, or None
+    if not visible (ref nuscenes_converter.py get_2d_boxes:409-539 +
+    post_process_coords:541-573 — corner hull intersected with the image
+    canvas)."""
+    from tpu_bev3d.structures.boxes3d import corners_lidar
+    corners = corners_lidar(np.asarray(bbox_3d, np.float32)[None])[0]
+    hom = np.concatenate([corners, np.ones((8, 1), np.float32)], -1)
+    cam = hom @ np.asarray(lidar2cam, np.float32).T        # [8, 4]
+    in_front = cam[:, 2] > 0.1
+    if not in_front.any():
+        return None
+    K = np.asarray(cam2img, np.float32)
+    pts = cam[in_front, :3] @ K.T
+    uv = pts[:, :2] / pts[:, 2:3]
+    x0, y0 = uv.min(0)
+    x1, y1 = uv.max(0)
+    x0, x1 = np.clip([x0, x1], 0, im_w - 1)
+    y0, y1 = np.clip([y0, y1], 0, im_h - 1)
+    if x1 - x0 < 1 or y1 - y0 < 1:
+        return None
+    # projected 3D center (gravity center) + its camera depth
+    ctr = np.asarray(bbox_3d[:3], np.float32)
+    ctr[2] += bbox_3d[5] / 2
+    c = np.asarray(lidar2cam, np.float32) @ np.append(ctr, 1.0)
+    if c[2] <= 0.1:
+        return None
+    cuv = (K @ c[:3])[:2] / c[2]
+    return dict(bbox=[float(x0), float(y0), float(x1), float(y1)],
+                center2d=[float(cuv[0]), float(cuv[1])],
+                depth=float(c[2]))
+
+
 def create_nuscenes_infos(root, version='v1.0-mini', out_file=None,
                           max_sweeps=10, classes=None, name_map=None,
-                          with_velocity=True):
+                          with_velocity=True, with_2d_anns=True):
     """classes/name_map/with_velocity overrides support Lyft's
     nuScenes-schema tables (tools/lyft_converter.py)."""
     CLASSES_ = list(classes) if classes is not None else CLASSES
@@ -138,6 +171,8 @@ def create_nuscenes_infos(root, version='v1.0-mini', out_file=None,
                 @ (ego2global @ lidar2ego)
             images[cam] = dict(
                 img_path=csd['filename'],
+                width=csd.get('width', 1600),
+                height=csd.get('height', 900),
                 cam2img=np.asarray(ccs['camera_intrinsic'],
                                    np.float32).tolist(),
                 lidar2cam=lidar2cam.astype(np.float32).tolist())
@@ -189,6 +224,19 @@ def create_nuscenes_infos(root, version='v1.0-mini', out_file=None,
                 velocity=[float(vel_l[0]), float(vel_l[1])],
                 num_lidar_pts=ann.get('num_lidar_pts', 1)))
         info['instances'] = instances
+        # per-camera 2D annotations for aux 2D supervision (StreamPETR
+        # YOLOX/Focal heads; ref get_2d_boxes:409-539)
+        if with_2d_anns and images:
+            for cam, imi in images.items():
+                anns2d = []
+                for inst in instances:
+                    r = _project_box_2d(
+                        inst['bbox_3d'], imi['lidar2cam'],
+                        imi['cam2img'], imi['width'], imi['height'])
+                    if r is not None:
+                        anns2d.append(dict(
+                            **r, bbox_label=inst['bbox_label_3d']))
+                imi['instances_2d'] = anns2d
         data_list.append(info)
 
     out_file = out_file or os.path.join(root, 'nuscenes_infos.pkl')

@@ -65,6 +65,9 @@ class NuScenesDataset(Det3DDataset):
             out['lidar2img'] = []
             out['cam2img'] = []
             out['cam2lidar'] = []
+            has_2d = any('instances_2d' in ci for ci in imgs.values())
+            if has_2d:
+                out['anns_2d'] = []
             for cam, ci in imgs.items():
                 out['img_paths'].append(ci.get('img_path'))
                 c2i = np.asarray(ci.get('cam2img', np.eye(3)), np.float32)
@@ -74,4 +77,8 @@ class NuScenesDataset(Det3DDataset):
                 out['cam2img'].append(c2i)
                 out['lidar2img'].append(k @ l2c)
                 out['cam2lidar'].append(np.linalg.inv(l2c))
+                if has_2d:
+                    # per-camera 2D anns (converter --with-2d; the
+                    # StreamPETR aux-2D supervision payload)
+                    out['anns_2d'].append(ci.get('instances_2d', []))
         return out

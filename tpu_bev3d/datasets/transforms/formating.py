@@ -18,10 +18,12 @@ from ...registry import TRANSFORMS
 class Pack3DDetInputs:
     def __init__(self, keys: Sequence[str] = (), num_points: int = 120000,
                  max_gt: int = 64, box_dim: int = 7,
+                 max_gt_2d: int = 0,
                  meta_keys: Sequence[str] = (), **kw):
         self.num_points = num_points
         self.max_gt = max_gt
         self.box_dim = box_dim
+        self.max_gt_2d = max_gt_2d   # >0 → pack per-camera 2D GT slots
         self.meta_keys = list(meta_keys)
 
     def __call__(self, results: dict) -> dict:
@@ -65,6 +67,25 @@ class Pack3DDetInputs:
         if 'lidar_aug_matrix' in results:
             out['lidar_aug'] = np.asarray(results['lidar_aug_matrix'],
                                           np.float32)
+        if self.max_gt_2d > 0 and 'anns_2d' in results:
+            # padded per-camera 2D GT (StreamPETR aux 2D supervision):
+            # [N_cam, G2, ...] + validity mask
+            cams = results['anns_2d']
+            N, G2 = len(cams), self.max_gt_2d
+            b2 = np.zeros((N, G2, 4), np.float32)
+            c2 = np.zeros((N, G2, 2), np.float32)
+            d2 = np.zeros((N, G2), np.float32)
+            l2 = np.zeros((N, G2), np.int32)
+            m2 = np.zeros((N, G2), bool)
+            for ci, anns in enumerate(cams):
+                for gi, a in enumerate(anns[:G2]):
+                    b2[ci, gi] = a['bbox']
+                    c2[ci, gi] = a['center2d']
+                    d2[ci, gi] = a.get('depth', 0.0)
+                    l2[ci, gi] = a.get('bbox_label', 0)
+                    m2[ci, gi] = True
+            out.update(gt_bboxes_2d=b2, centers2d=c2, depths2d=d2,
+                       gt_labels_2d=l2, gt_mask_2d=m2)
         meta = {k: results[k] for k in self.meta_keys if k in results}
         for k in ('sample_idx', 'token', 'lidar_path'):
             if k in results:

@@ -24,18 +24,41 @@ def _load_points_file(path: str, load_dim: int) -> np.ndarray:
 
 @TRANSFORMS.register_module()
 class LoadPointsFromFile:
-    """Ref loading.py:554-650."""
+    """Ref loading.py:554-650.
+
+    native=True routes through the C++ point-IO library
+    (csrc/pointio.cc via datasets/pointio.py): mmap read + optional
+    range filter in one pass — the loader analogue of the reference's
+    torch C++ dataloader workers. Requires use_dim to be a prefix range;
+    falls back to numpy when the library can't build.
+    """
 
     def __init__(self, coord_type: str = 'LIDAR', load_dim: int = 4,
                  use_dim=4, shift_height: bool = False,
+                 native: bool = False, pc_range=None,
+                 max_points: int = 400000,
                  backend_args=None, **kw):
         self.load_dim = load_dim
         self.use_dim = list(range(use_dim)) if isinstance(use_dim, int) \
             else list(use_dim)
+        prefix = self.use_dim == list(range(len(self.use_dim)))
+        self.pc_range = list(pc_range) if pc_range is not None else None
+        self.max_points = max_points
+        self.native = bool(native) and prefix
+        if self.native:
+            from ..pointio import available
+            self.native = available()
 
     def __call__(self, results: dict) -> dict:
         path = results.get('lidar_path') or \
             results.get('lidar_points', {}).get('lidar_path')
+        if self.native and isinstance(path, str) \
+                and path.endswith('.bin'):
+            from ..pointio import load_bin
+            pts, n = load_bin(path, self.load_dim, len(self.use_dim),
+                              self.max_points, self.pc_range)
+            results['points'] = pts[:n]
+            return results
         pts = _load_points_file(path, self.load_dim)[:, self.use_dim]
         results['points'] = pts
         return results
