@@ -172,3 +172,31 @@ def test_streampetr_with_yolox_aux_and_sparse_head():
     # second frame consumes the aged memory
     preds, _ = model.apply(variables, batch, memory=mem, mode='predict')
     assert np.all(np.isfinite(np.asarray(preds['bboxes'])))
+
+
+def test_eva_rope_properties():
+    """Axial 2D RoPE: rotation preserves norms, and q·k depends only on
+    the RELATIVE offset (the property that makes grid-level application
+    equivalent to window-relative application)."""
+    from tpu_bev3d.models.detectors.stream_petr import (apply_rope,
+                                                        rope_2d_tables)
+    h, w, d = 8, 10, 16
+    cos, sin = rope_2d_tables(h, w, d)
+    rng = np.random.default_rng(0)
+    q = jnp.asarray(rng.normal(size=(1, h, w, 2, d)).astype(np.float32))
+    qr = apply_rope(q, cos, sin)
+    np.testing.assert_allclose(np.linalg.norm(np.asarray(qr), axis=-1),
+                               np.linalg.norm(np.asarray(q), axis=-1),
+                               rtol=1e-5)
+    # relative invariance: score between positions p and p+delta is the
+    # same wherever p sits
+    v1 = np.asarray(rng.normal(size=(d,)).astype(np.float32))
+    v2 = np.asarray(rng.normal(size=(d,)).astype(np.float32))
+    base = jnp.zeros((1, h, w, 1, d))
+    a = np.asarray(apply_rope(base.at[0, 1, 1, 0].set(v1), cos, sin))
+    b = np.asarray(apply_rope(base.at[0, 3, 4, 0].set(v2), cos, sin))
+    s1 = a[0, 1, 1, 0] @ b[0, 3, 4, 0]          # offset (2, 3)
+    a2 = np.asarray(apply_rope(base.at[0, 4, 2, 0].set(v1), cos, sin))
+    b2 = np.asarray(apply_rope(base.at[0, 6, 5, 0].set(v2), cos, sin))
+    s2 = a2[0, 4, 2, 0] @ b2[0, 6, 5, 0]        # same offset (2, 3)
+    assert abs(s1 - s2) < 1e-4, (s1, s2)

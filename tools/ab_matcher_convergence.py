@@ -43,8 +43,12 @@ def main(steps=150):
                     qgt[q] = gs[g_i]
             return qgt
 
+        # assignment is a non-differentiable integer decision — match the
+        # in-graph matcher's semantics by cutting gradients at the cost
         return jax.pure_callback(
-            host, jax.ShapeDtypeStruct((Q,), jnp.int32), cost, gt_mask)
+            host, jax.ShapeDtypeStruct((Q,), jnp.int32),
+            jax.lax.stop_gradient(cost), jax.lax.stop_gradient(gt_mask),
+            vmap_method='sequential')
 
     def run(assign_fn, seed=0):
         th.greedy_assign, orig = assign_fn, th.greedy_assign

@@ -585,14 +585,93 @@ class SparseHead(nn.Module):
     _encode_gt = PETRHead._encode_gt
 
 
+def rope_2d_tables(h, w, dim_head, pt_seq_len=16, theta=10000.0):
+    """Axial 2D rotary tables (ref eva_vit.py VisionRotaryEmbeddingFast
+    :283-350): half the head dim rotates with the row position, half with
+    the column; 'lang' frequency schedule with pixel-normalized t.
+    → (cos [h, w, dim_head], sin [h, w, dim_head])."""
+    half = dim_head // 2
+    freqs = 1.0 / (theta ** (np.arange(0, half, 2, dtype=np.float32)
+                             / half))                       # [half/2]
+
+    def axis(n):
+        t = np.arange(n, dtype=np.float32) / n * pt_seq_len
+        f = np.outer(t, freqs)                              # [n, half/2]
+        return np.repeat(f, 2, axis=-1)                     # [n, half]
+
+    fh, fw = axis(h), axis(w)
+    grid = np.concatenate(
+        [np.broadcast_to(fh[:, None, :], (h, w, half)),
+         np.broadcast_to(fw[None, :, :], (h, w, half))], -1)
+    return jnp.asarray(np.cos(grid)), jnp.asarray(np.sin(grid))
+
+
+def apply_rope(x, cos, sin):
+    """x [..., h, w, heads, d]; cos/sin [h, w, d] — rotate-pairs RoPE
+    (ref eva_vit rotate_half on interleaved pairs)."""
+    x1 = x[..., 0::2]
+    x2 = x[..., 1::2]
+    rot = jnp.stack([-x2, x1], -1).reshape(x.shape)
+    c = cos[:, :, None, :].astype(x.dtype)
+    s = sin[:, :, None, :].astype(x.dtype)
+    return x * c + rot * s
+
+
+class _EVAAttention(nn.Module):
+    """QKV on the 2D token grid, RoPE on q/k, then full-grid or windowed
+    softmax attention. RoPE is per-token and therefore commutes with
+    window partitioning — applied once at grid layout."""
+    num_heads: int
+    window_size: int = 0        # 0 → global attention
+
+    @nn.compact
+    def __call__(self, x, rope=None):
+        B, h, w, C = x.shape
+        nh = self.num_heads
+        d = C // nh
+        qkv = nn.Dense(3 * C, name='qkv')(x).reshape(B, h, w, 3, nh, d)
+        q, k, v = (qkv[..., i, :, :] for i in range(3))
+        if rope is not None:
+            cos, sin = rope
+            q = apply_rope(q, cos, sin)
+            k = apply_rope(k, cos, sin)
+
+        def attend(qt, kt, vt):
+            # [B', N, nh, d]
+            a = jnp.einsum('bnhd,bmhd->bhnm', qt * (d ** -0.5), kt)
+            a = jax.nn.softmax(a, axis=-1)
+            return jnp.einsum('bhnm,bmhd->bnhd', a, vt)
+
+        if self.window_size:
+            ws = self.window_size
+            ph, pw = (-h) % ws, (-w) % ws
+            hh, ww = h + ph, w + pw
+
+            def part(t):
+                t = jnp.pad(t, ((0, 0), (0, ph), (0, pw), (0, 0),
+                                (0, 0)))
+                t = t.reshape(B, hh // ws, ws, ww // ws, ws, nh, d)
+                return t.transpose(0, 1, 3, 2, 4, 5, 6).reshape(
+                    -1, ws * ws, nh, d)
+            o = attend(part(q), part(k), part(v))
+            o = o.reshape(B, hh // ws, ww // ws, ws, ws, nh, d) \
+                .transpose(0, 1, 3, 2, 4, 5, 6).reshape(B, hh, ww, C)
+            o = o[:, :h, :w]
+        else:
+            o = attend(q.reshape(B, h * w, nh, d),
+                       k.reshape(B, h * w, nh, d),
+                       v.reshape(B, h * w, nh, d)).reshape(B, h, w, C)
+        return nn.Dense(C, name='proj')(o)
+
+
 @MODELS.register_module()
 class EVAViT(nn.Module):
     """EVA-style plain ViT backbone (ref projects/StreamPETR
-    models/backbones/eva_vit.py:862). Compact rebuild: patch embed +
-    pre-norm blocks, global attention every `global_interval`-th block
-    and windowed attention elsewhere (the EVA02 scheme); learned 2D
-    positional embeddings (the reference's RoPE is intentionally replaced
-    — documented deviation)."""
+    models/backbones/eva_vit.py:862). Patch embed + pre-norm blocks,
+    global attention every `global_interval`-th block and windowed
+    attention elsewhere (the EVA02 scheme); axial 2D RoPE on q/k like the
+    reference's VisionRotaryEmbeddingFast (use_rope=False falls back to
+    learned absolute embeddings)."""
     img_size: Any = (256, 704)
     patch_size: int = 16
     embed_dims: int = 384
@@ -601,6 +680,7 @@ class EVAViT(nn.Module):
     mlp_ratio: float = 4.0
     window_size: int = 4
     global_interval: int = 3
+    use_rope: bool = True
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -609,30 +689,20 @@ class EVAViT(nn.Module):
         x = nn.Conv(self.embed_dims, (p, p), strides=(p, p),
                     padding='VALID', name='patch_embed')(x)
         _, h, w, C = x.shape
-        pos = self.param('pos_embed', nn.initializers.normal(0.02),
-                         (h, w, C))
-        x = x + pos[None]
+        rope = None
+        if self.use_rope:
+            rope = rope_2d_tables(h, w, C // self.num_heads)
+        else:
+            pos = self.param('pos_embed', nn.initializers.normal(0.02),
+                             (h, w, C))
+            x = x + pos[None]
         for i in range(self.depth):
             is_global = (i + 1) % self.global_interval == 0
             y = nn.LayerNorm(name=f'norm1_{i}')(x)
-            if is_global:
-                t = y.reshape(B, h * w, C)
-                t = nn.MultiHeadDotProductAttention(
-                    self.num_heads, name=f'attn_{i}')(t, t)
-                x = x + t.reshape(B, h, w, C)
-            else:
-                ws = self.window_size
-                ph, pw = (-h) % ws, (-w) % ws
-                yp = jnp.pad(y, ((0, 0), (0, ph), (0, pw), (0, 0)))
-                hh, ww = yp.shape[1:3]
-                t = yp.reshape(B, hh // ws, ws, ww // ws, ws, C) \
-                    .transpose(0, 1, 3, 2, 4, 5) \
-                    .reshape(-1, ws * ws, C)
-                t = nn.MultiHeadDotProductAttention(
-                    self.num_heads, name=f'attn_{i}')(t, t)
-                t = t.reshape(B, hh // ws, ww // ws, ws, ws, C) \
-                    .transpose(0, 1, 3, 2, 4, 5).reshape(B, hh, ww, C)
-                x = x + t[:, :h, :w]
+            x = x + _EVAAttention(
+                self.num_heads,
+                window_size=0 if is_global else self.window_size,
+                name=f'attn_{i}')(y, rope=rope)
             y = nn.LayerNorm(name=f'norm2_{i}')(x)
             y = nn.Dense(int(C * self.mlp_ratio), name=f'fc1_{i}')(y)
             y = nn.gelu(y)
