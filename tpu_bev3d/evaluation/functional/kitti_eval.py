@@ -340,27 +340,54 @@ def eval_class(preds: List[dict], gts: List[dict], class_name: str,
         total_valid += n_valid
     if total_valid == 0:
         return None
+    # native fast path: the C++ statistics kernel plays the reference's
+    # numba-jitted compute_statistics_jit role (csrc/kitti_stats.cc);
+    # the Python loop below stays as the documented fallback + oracle
+    from .kitti_native import (accumulate_stats, available,
+                               collect_tp_scores)
+    use_native = available()
     # pass 1: collect TP scores at thresh -inf
     all_scores = []
     for ov, gt_part, dt, ig_gt_part, ig_dt, dc, dc_ov in frames:
-        _, _, _, _, th = compute_statistics(
-            ov, gt_part, dt, ig_gt_part, ig_dt, dc,
-            min_overlap, -np.inf, compute_fp=False, metric=metric_id,
-            dc_overlaps=dc_ov)
-        all_scores.extend(th)
+        if use_native:
+            all_scores.extend(collect_tp_scores(
+                ov, dt.get('scores', np.zeros((0,))), ig_gt_part, ig_dt,
+                min_overlap))
+        else:
+            _, _, _, _, th = compute_statistics(
+                ov, gt_part, dt, ig_gt_part, ig_dt, dc,
+                min_overlap, -np.inf, compute_fp=False, metric=metric_id,
+                dc_overlaps=dc_ov)
+            all_scores.extend(th)
     thresholds = get_thresholds(np.asarray(all_scores), total_valid)
     if not thresholds:
         # GT exists but no detection ever matched: AP is defined and zero
         return dict(precision=np.zeros(N_SAMPLE_PTS),
                     aos=np.zeros(N_SAMPLE_PTS))
     pr = np.zeros((len(thresholds), 4))
-    for ov, gt_part, dt, ig_gt_part, ig_dt, dc, dc_ov in frames:
-        for t, th in enumerate(thresholds):
-            tp, fp, fn, sim, _ = compute_statistics(
-                ov, gt_part, dt, ig_gt_part, ig_dt, dc, min_overlap, th,
-                compute_fp=True, compute_aos=compute_aos, metric=metric_id,
-                dc_overlaps=dc_ov)
-            pr[t] += [tp, fp, fn, sim]
+    if use_native:
+        n_th = len(thresholds)
+        tp = np.zeros(n_th, np.int64)
+        fp = np.zeros(n_th, np.int64)
+        fn = np.zeros(n_th, np.int64)
+        sim = np.zeros(n_th, np.float64)
+        for ov, gt_part, dt, ig_gt_part, ig_dt, dc, dc_ov in frames:
+            accumulate_stats(
+                ov, dt.get('scores', np.zeros((0,))),
+                gt_part.get('alphas'), dt.get('alphas'),
+                ig_gt_part, ig_dt, dc_ov, min_overlap, thresholds,
+                compute_aos and gt_part.get('alphas') is not None
+                and dt.get('alphas') is not None,
+                metric_id, tp, fp, fn, sim)
+        pr[:, 0], pr[:, 1], pr[:, 2], pr[:, 3] = tp, fp, fn, sim
+    else:
+        for ov, gt_part, dt, ig_gt_part, ig_dt, dc, dc_ov in frames:
+            for t, th in enumerate(thresholds):
+                tp, fp, fn, sim, _ = compute_statistics(
+                    ov, gt_part, dt, ig_gt_part, ig_dt, dc, min_overlap,
+                    th, compute_fp=True, compute_aos=compute_aos,
+                    metric=metric_id, dc_overlaps=dc_ov)
+                pr[t] += [tp, fp, fn, sim]
     n_th = len(thresholds)
     precision = np.zeros(N_SAMPLE_PTS)
     aos = np.zeros(N_SAMPLE_PTS)
