@@ -109,3 +109,41 @@ def test_streampetr_dn_focal_eva():
     refs, aux = focal.apply(fv, img_feats, cam, image_size=(iH, iW))
     assert refs.shape == (B, 8, 3)
     assert np.isfinite(np.asarray(refs)).all()
+
+
+def test_stream_petr_scan_over_clip():
+    """The fixed-size memory pytree makes the streaming step scannable:
+    lax.scan over a 3-frame clip with memory carry (the docstring's
+    contract; GroupStreamingSampler analogue feeds frames in order)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    model = build_detector_from_cfg(_cfg())
+    batch = create_multimodal_inputs(batch_size=1, num_points=32,
+                                     image_size=(64, 176), num_cams=2,
+                                     pc_range=(-51.2, -51.2, -5.0,
+                                               51.2, 51.2, 3.0))
+    batch = {k: jnp.asarray(v) for k, v in batch.items()}
+    variables = model.init(jax.random.PRNGKey(0), batch, mode='tensor')
+
+    T = 3
+    rng = np.random.default_rng(1)
+    clip_imgs = jnp.asarray(rng.normal(
+        size=(T,) + batch['imgs'].shape).astype(np.float32))
+
+    def step(memory, imgs_t):
+        b = dict(batch, imgs=imgs_t)
+        preds, new_mem = model.apply(variables, b, memory=memory,
+                                     mode='predict')
+        return new_mem, preds['scores']
+
+    mem0 = jax.tree_util.tree_map(
+        jnp.asarray, model.apply(variables, 1,
+                                 method=lambda m, B: m.empty_memory(B)))
+    final_mem, scores = jax.jit(
+        lambda m0, c: jax.lax.scan(step, m0, c))(mem0, clip_imgs)
+    assert scores.shape[0] == T
+    assert np.all(np.isfinite(np.asarray(scores)))
+    # memory evolved: later frames see different propagated queries
+    assert not np.allclose(np.asarray(scores[0]), np.asarray(scores[-1]))
