@@ -12,6 +12,20 @@ run-to-run), fully differentiable, and avoids materializing sort indices:
 ``out = zeros[B*Z*H*W, C].at[rank].add(feats)``. Invalid points get an
 out-of-bounds rank and are dropped by the scatter.
 
+Why not a Pallas kernel (SURVEY §7 named this the "flagship Pallas
+kernel"): a fused lift+pool kernel needs scatter-adds to ARBITRARY HBM
+rows — Mosaic has no atomics and no efficient dynamic lane-dim
+addressing, so the two viable shapes are (a) privatized per-core BEV
+canvases + a reduction (the 360²×80 f32 canvas alone is 41 MB, >> 16 MB
+VMEM, forcing an HBM round trip that IS the cost being avoided) or
+(b) sort-by-rank + segmented sum (re-introducing the 400k-row sort the
+scatter design eliminates). Measured end-to-end the XLA scatter path
+already runs the view transform at ~5 ms device (top-24 lift, see
+docs/benchmarks.md history) — the remaining win is bounded by HBM
+bandwidth on the 65 MB frustum product, which XLA already fuses into the
+scatter operand. Decision: keep the XLA formulation; revisit only if a
+future Mosaic exposes HBM scatter-accumulate.
+
 ``bev_pool_ranks`` reproduces the reference's rank construction
 (depth_lss.py:129-176): quantize geometry to the BEV grid, range-filter,
 linearize (b, z, y, x).
