@@ -14,8 +14,8 @@ model = dict(
     img_backbone=dict(
         type='VoVNetCP', out_indices=(2, 3), use_checkpoint=True),
     img_neck=dict(
-        type='GeneralizedLSSFPN', in_channels=[768, 1024],
-        out_channels=256, num_outs=2),
+        type='CPFPN', in_channels=[768, 1024], out_channels=256,
+        num_outs=2),
     bbox_head=dict(
         type='StreamPETRHeadDN',
         num_classes=10,

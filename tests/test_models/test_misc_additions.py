@@ -137,3 +137,29 @@ def test_pointnet2_paconv_backbone():
     out, _ = m.apply(v, pts, mask, mutable=['batch_stats'])
     assert out['fp_features'].shape == (2, 32, 16)
     assert np.isfinite(np.asarray(out['fp_features'])).all()
+
+
+def test_fpn_and_cpfpn():
+    """Additive FPN (mmdet semantics) + checkpointed CPFPN variant."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from tpu_bev3d.registry import MODELS
+    rng = np.random.default_rng(0)
+    feats = [jnp.asarray(rng.normal(size=(2, 16, 16, 8))
+                         .astype(np.float32)),
+             jnp.asarray(rng.normal(size=(2, 8, 8, 16))
+                         .astype(np.float32)),
+             jnp.asarray(rng.normal(size=(2, 4, 4, 32))
+                         .astype(np.float32))]
+    fpn = MODELS.build(dict(type='FPN', in_channels=[8, 16, 32],
+                            out_channels=8, num_outs=4))
+    v = fpn.init(jax.random.PRNGKey(0), feats)
+    outs = fpn.apply(v, feats)
+    assert [o.shape for o in outs] == [(2, 16, 16, 8), (2, 8, 8, 8),
+                                       (2, 4, 4, 8), (2, 2, 2, 8)]
+    cp = MODELS.build(dict(type='CPFPN', in_channels=[8, 16, 32],
+                           out_channels=8, num_outs=3))
+    v2 = cp.init(jax.random.PRNGKey(0), feats, train=True)
+    outs2 = cp.apply(v2, feats, train=True)
+    assert np.isfinite(np.asarray(outs2[0])).all()

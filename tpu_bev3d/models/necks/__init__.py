@@ -1,4 +1,5 @@
 from .second_fpn import SECONDFPN
 from .generalized_lss_fpn import GeneralizedLSSFPN
+from .fpn import FPN, CPFPN
 
-__all__ = ['SECONDFPN', 'GeneralizedLSSFPN']
+__all__ = ['SECONDFPN', 'GeneralizedLSSFPN', 'FPN', 'CPFPN']
