@@ -133,6 +133,64 @@ def fused_point_stem_scatter(points, points_mask, weight, *,
     return jax.vmap(one)(points, points_mask)
 
 
+def fused_point_stem_scatter_sorted(points, points_mask, weight, *,
+                                    voxel_size, pc_range, max_points: int,
+                                    nz: int, ny: int, nx: int,
+                                    pack_xy: int):
+    """Sorted per-point variant of the fused stem: keeps hard_voxelize's
+    exact semantics (max_points cap, deterministic sorted order) but
+    scatters PER-POINT stem contributions (W_sub @ x_p / n_v) straight to
+    the canvas — P scatter rows instead of max_voxels, no voxel buffer,
+    no per-voxel gather of W. Exactly equals
+    fused_stem_scatter(hard_voxelize(reduce='mean')).
+    """
+    import jax.ops
+    from ...ops.voxelize import compute_voxel_coords
+    B, P, C = points.shape
+    p = pack_xy
+    dx, dy = (nx + p - 1) // p, (ny + p - 1) // p
+    ch0 = weight.shape[-1]
+
+    def one(pts, msk):
+        cxyz, in_range, _ = compute_voxel_coords(
+            pts, tuple(voxel_size), tuple(pc_range))
+        valid = msk & in_range
+        x, y, z = cxyz[:, 0], cxyz[:, 1], cxyz[:, 2]
+        lin = jnp.where(valid, z * (ny * nx) + y * nx + x, nz * ny * nx)
+        order = jnp.argsort(lin, stable=True)
+        lin_s = lin[order]
+        valid_s = valid[order]
+        pts_s = pts[order]
+        cxyz_s = cxyz[order]
+        iota = jnp.arange(P, dtype=jnp.int32)
+        new_seg = valid_s & jnp.concatenate(
+            [jnp.ones((1,), bool), lin_s[1:] != lin_s[:-1]])
+        voxel_idx = jnp.cumsum(new_seg.astype(jnp.int32)) - 1
+        seg_start = jax.lax.associative_scan(
+            jnp.maximum, jnp.where(new_seg, iota, -1))
+        rank = iota - seg_start
+        keep = valid_s & (rank < max_points)
+        # capped per-voxel count → per-point denominator
+        cnt = jax.ops.segment_sum(
+            keep.astype(jnp.float32), jnp.where(keep, voxel_idx, P),
+            num_segments=P + 1)[:P]
+        n_p = jnp.maximum(cnt[jnp.clip(voxel_idx, 0, P - 1)], 1.0)
+        xs, ys, zs = cxyz_s[:, 0], cxyz_s[:, 1], cxyz_s[:, 2]
+        sub = jnp.where(keep, zs * (p * p) + (xs % p) * p + (ys % p), 0)
+        rows = jnp.where(keep, (xs // p) * dy + (ys // p), dx * dy)
+        Wp = weight[sub]                                   # [P, C, ch0]
+        contrib = jnp.einsum('pc,pck->pk', pts_s.astype(weight.dtype),
+                             Wp)
+        contrib = jnp.where(keep[:, None],
+                            contrib / n_p[:, None].astype(contrib.dtype),
+                            0)
+        canvas = jnp.zeros((dx * dy + 1, ch0), contrib.dtype)
+        canvas = canvas.at[rows].add(contrib, mode='drop')
+        return canvas[:-1].reshape(dx, dy, ch0)
+
+    return jax.vmap(one)(points, points_mask)
+
+
 @MODELS.register_module()
 class BEVColumnEncoder(nn.Module):
     """Drop-in replacement for (BEVFusion)SparseEncoder / DenseVoxelEncoder.
@@ -151,9 +209,14 @@ class BEVColumnEncoder(nn.Module):
     pack_xy: int = 2
     fused_stem: bool = False
     stem_channels: int = 128
-    # voxel geometry for the sort-free points fast path (encode_points)
+    # voxel geometry for the fused points fast paths
     voxel_size: Any = None
     point_cloud_range: Any = None
+    # 'sorted' (exact hard_voxelize semantics incl. max_points cap, P
+    # scatter rows) or 'countgrid' (sort-free, no cap — wins only at very
+    # high point counts; see fused_point_stem_scatter docstrings)
+    point_path: str = 'sorted'
+    max_points: int = 10
 
     def _stem_weight(self, dtype):
         nz, _, _ = self.sparse_shape
@@ -173,11 +236,19 @@ class BEVColumnEncoder(nn.Module):
         nz, ny, nx = self.sparse_shape
         if points is not None:
             w0 = self._stem_weight(points.dtype)
-            x = fused_point_stem_scatter(
-                points, points_mask, w0,
-                voxel_size=tuple(self.voxel_size),
-                pc_range=tuple(self.point_cloud_range),
-                nz=nz, ny=ny, nx=nx, pack_xy=self.pack_xy)
+            if self.point_path == 'sorted':
+                x = fused_point_stem_scatter_sorted(
+                    points, points_mask, w0,
+                    voxel_size=tuple(self.voxel_size),
+                    pc_range=tuple(self.point_cloud_range),
+                    max_points=self.max_points,
+                    nz=nz, ny=ny, nx=nx, pack_xy=self.pack_xy)
+            else:
+                x = fused_point_stem_scatter(
+                    points, points_mask, w0,
+                    voxel_size=tuple(self.voxel_size),
+                    pc_range=tuple(self.point_cloud_range),
+                    nz=nz, ny=ny, nx=nx, pack_xy=self.pack_xy)
             x = nn.BatchNorm(use_running_average=not train, momentum=0.99,
                              epsilon=1e-3, dtype=x.dtype,
                              name='stem_bn')(x)
