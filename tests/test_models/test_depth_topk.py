@@ -83,3 +83,20 @@ def test_camera_mask_zeroes_missing_camera():
     # dropping camera 1 must change the pooled BEV but keep it finite
     assert not np.allclose(np.asarray(out_all), np.asarray(out_one))
     assert np.isfinite(np.asarray(out_one)).all()
+
+
+def test_precomputed_ranks_with_topk_match_dynamic():
+    """Deploy path ∘ top-k: gathering static all-bin ranks by the kept
+    bins must equal the online top-k geometry path exactly."""
+    B, N = 1, 2
+    rng = np.random.RandomState(9)
+    img = rng.randn(B, N, 8, 22, 16).astype(np.float32)
+    cam = _cam_params(B, N, rng)
+    m = _build(6)
+    variables = m.init(jax.random.PRNGKey(0), jnp.asarray(img), cam)
+    out_dyn, _ = m.apply(variables, jnp.asarray(img), cam)
+    ranks = m.precompute_bev_ranks(cam)
+    out_pre, _ = m.apply(variables, jnp.asarray(img),
+                         dict(cam, geom_ranks=ranks))
+    np.testing.assert_allclose(np.asarray(out_pre), np.asarray(out_dyn),
+                               rtol=1e-5, atol=1e-5)

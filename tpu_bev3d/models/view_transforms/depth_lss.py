@@ -139,6 +139,24 @@ class BaseLSS(nn.Module):
                 jnp.sum(topv, -1, keepdims=True), 1e-6)
             frustum_feats = topv[..., None].astype(feats.dtype) \
                 * feats[..., None, :]                   # [B,N,fH,fW,k,C]
+            if geom_ranks is not None:
+                # deploy fast path ∘ top-k: gather the static all-bin
+                # flat ranks by the kept-bin indices — skips all
+                # per-frame frustum geometry math (ref
+                # depth_lss.py:249-252 precomputed geom_feats). Accepts
+                # the flat [B, N·D·fH·fW] form from
+                # precompute_bev_ranks and regrids it to [B,N,fH,fW,D].
+                gr = geom_ranks
+                if gr.ndim == 2:
+                    B_, N_, fH_, fW_ = depth.shape[:4]
+                    gr = gr.reshape(B_, N_, self.D, fH_, fW_) \
+                        .transpose(0, 1, 3, 4, 2)
+                r = jnp.take_along_axis(gr, topi, axis=-1)
+                B = frustum_feats.shape[0]
+                return jnp.transpose(bev_pool_from_ranks(
+                    frustum_feats.reshape(B, -1, feats.shape[-1]),
+                    r.reshape(B, -1), bev_shape=(nx, ny, nz),
+                    accum_dtype=jnp.float32), (0, 2, 3, 1))
             # gather the matching geometry rows: geom is [B,N,D,fH,fW,3]
             g = jnp.transpose(geom, (0, 1, 3, 4, 2, 5))  # [B,N,fH,fW,D,3]
             g = jnp.take_along_axis(g, topi[..., None], axis=4)
