@@ -163,3 +163,33 @@ def test_fpn_and_cpfpn():
     v2 = cp.init(jax.random.PRNGKey(0), feats, train=True)
     outs2 = cp.apply(v2, feats, train=True)
     assert np.isfinite(np.asarray(outs2[0])).all()
+
+
+def test_iou_neg_piecewise_sampler():
+    """Fixed-shape RoI sampler: positive quota by IoU, negatives filled
+    from piecewise IoU intervals (Part-A2 recipe)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from tpu_bev3d.models.task_modules import IoUNegPiecewiseSampler
+
+    s = IoUNegPiecewiseSampler(num=32, pos_fraction=0.5,
+                               neg_piece_fractions=[0.8, 0.2],
+                               neg_iou_piece_thrs=[0.55, 0.1],
+                               pos_iou_thr=0.55)
+    rng = np.random.default_rng(0)
+    ious = jnp.asarray(rng.uniform(0, 1, (300,)).astype(np.float32))
+    idx, is_pos, valid = s.sample(jax.random.PRNGKey(0), ious)
+    assert idx.shape == (32,) and is_pos.shape == (32,)
+    iou_sel = np.asarray(ious)[np.asarray(idx)]
+    v = np.asarray(valid)
+    p = np.asarray(is_pos)
+    # every valid positive slot has IoU >= thr; negatives below
+    assert np.all(iou_sel[p] >= 0.55)
+    assert np.all(iou_sel[v & ~p] < 0.55)
+    assert p.sum() == 16                      # pos quota filled
+    # scarce positives -> invalid pos slots flagged
+    ious2 = jnp.asarray(np.full((300,), 0.2, np.float32))
+    _, is_pos2, valid2 = s.sample(jax.random.PRNGKey(1), ious2)
+    assert np.asarray(is_pos2).sum() == 0
+    assert np.asarray(valid2)[:16].sum() == 0  # no positives available

@@ -117,3 +117,44 @@ def test_nuimages_converter(tmp_path):
     assert len(coco['annotations']) == 1     # animal + sweep dropped
     a = coco['annotations'][0]
     assert a['bbox'] == [10, 20, 100, 60]
+
+
+def test_custom_scene_converter(tmp_path):
+    """CustomDataset + custom_scene_converter round trip."""
+    import json
+    import pickle
+    import numpy as np
+    import sys, os
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__)))), 'tools'))
+    from custom_scene_converter import create_custom_infos
+
+    os.makedirs(tmp_path / 'points')
+    os.makedirs(tmp_path / 'annotations')
+    rng = np.random.default_rng(0)
+    for i in range(2):
+        rng.uniform(-20, 20, (200, 4)).astype(np.float32).tofile(
+            tmp_path / 'points' / f'{i:06d}.bin')
+    with open(tmp_path / 'annotations' / '000000.json', 'w') as f:
+        json.dump([dict(bbox_3d=[1, 2, 0, 4, 2, 1.5, 0.3],
+                        label='car'),
+                   dict(bbox_3d=[5, 5, 0, 1, 1, 1.8, 0.0],
+                        label='pedestrian'),
+                   dict(bbox_3d=[0, 0, 0, 1, 1, 1, 0],
+                        label='unknown')], f)
+    out = create_custom_infos(str(tmp_path))
+    with open(out, 'rb') as f:
+        data = pickle.load(f)
+    assert len(data['data_list']) == 2
+    assert len(data['data_list'][0]['instances']) == 2  # unknown dropped
+
+    from tpu_bev3d.datasets import CustomDataset
+    ds = CustomDataset(
+        data_root=str(tmp_path), ann_file='custom_infos.pkl',
+        pipeline=[
+            dict(type='LoadPointsFromFile', load_dim=4, use_dim=4),
+            dict(type='LoadAnnotations3D'),
+            dict(type='Pack3DDetInputs', num_points=256, max_gt=8)])
+    s = ds[0]
+    assert s['gt_mask'].sum() == 2
+    assert s['points'].shape == (256, 4)

@@ -86,3 +86,13 @@ class SemanticKittiDataset(Det3DDataset):
                 p = os.path.join(self.data_root, p)
             out['pts_semantic_mask_path'] = p
         return out
+
+
+@DATASETS.register_module()
+class CustomDataset(Det3DDataset):
+    """BEVFusion project's custom-scene dataset (ref
+    projects/BEVFusion/datasets/custom_dataset.py:13 — 5 classes over
+    the standard info-pkl schema; points loaded from .bin like KITTI).
+    Build infos with tools/custom_scene_converter.py."""
+    METAINFO = {'classes': ['car', 'truck', 'bus', 'pedestrian',
+                            'bicycle']}

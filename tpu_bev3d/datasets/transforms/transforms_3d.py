@@ -239,3 +239,62 @@ class ObjectSample:
                               np.float32)], -1)
         results['points'] = np.concatenate([sp[:, :pts.shape[1]], pts], 0)
         return results
+
+
+@TRANSFORMS.register_module()
+class ObjectNoise:
+    """Per-object pose jitter with collision rejection (ref
+    transforms_3d.py:468 ObjectNoise + the numba noise_per_box kernels in
+    data_augment_utils.py:4-200 — here plain numpy over the same
+    separating-axis collision test as the DB sampler).
+
+    For every GT box, `num_try` candidate (translation, yaw) noises are
+    drawn; the first candidate whose noised box does not collide with any
+    OTHER current box is applied to the box and to the points inside it
+    (rotation about the box center, like the reference's point_transform).
+    """
+
+    def __init__(self, translation_std=(0.25, 0.25, 0.25),
+                 rot_range=(-0.15707963267, 0.15707963267),
+                 num_try: int = 100, seed: Optional[int] = None):
+        self.t_std = np.asarray(translation_std, np.float32)
+        self.rot_range = tuple(rot_range)
+        self.num_try = num_try
+        self.rng = np.random.default_rng(seed)
+
+    def __call__(self, results: dict) -> dict:
+        boxes = np.asarray(results.get('gt_bboxes_3d', np.zeros((0, 7))),
+                           np.float32)
+        if len(boxes) == 0:
+            return results
+        pts = results['points']
+        inside = B.points_in_rbbox(pts[:, :3], boxes[:, :7])   # [P, N]
+        new_boxes = boxes.copy()
+        for i in range(len(boxes)):
+            ts = self.rng.normal(0, self.t_std,
+                                 (self.num_try, 3)).astype(np.float32)
+            rs = self.rng.uniform(self.rot_range[0], self.rot_range[1],
+                                  self.num_try).astype(np.float32)
+            others = np.delete(new_boxes, i, axis=0)
+            for t, r in zip(ts, rs):
+                cand = new_boxes[i].copy()
+                cand[:3] += t
+                cand[6] += r
+                from .dbsampler import _bev_collision
+                if not _bev_collision(cand[None, :7],
+                                      others[:, :7]).any():
+                    # move the box's points with it: rotate about the
+                    # ORIGINAL center, then translate
+                    sel = inside[:, i]
+                    ctr = new_boxes[i, :3].copy()
+                    ctr[2] += new_boxes[i, 5] / 2
+                    c, s = np.cos(r), np.sin(r)
+                    R = np.asarray([[c, -s, 0], [s, c, 0], [0, 0, 1]],
+                                   np.float32)
+                    rel = pts[sel, :3] - ctr
+                    pts[sel, :3] = rel @ R.T + ctr + t
+                    new_boxes[i] = cand
+                    break
+        results['gt_bboxes_3d'] = new_boxes
+        results['points'] = pts
+        return results

@@ -2,8 +2,10 @@ from .anchor_generator import (Anchor3DRangeGenerator,
                                AlignedAnchor3DRangeGenerator)
 from .coders import DeltaXYZWLHRBBoxCoder, CenterPointBBoxCoder
 from .assigners import max_iou_assign
+from .samplers import IoUNegPiecewiseSampler
 
 __all__ = [
     'Anchor3DRangeGenerator', 'AlignedAnchor3DRangeGenerator',
     'DeltaXYZWLHRBBoxCoder', 'CenterPointBBoxCoder', 'max_iou_assign',
+    'IoUNegPiecewiseSampler',
 ]
