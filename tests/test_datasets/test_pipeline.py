@@ -108,3 +108,34 @@ def test_model_consumes_loader_batch(mini_kitti):
     losses, _ = model.apply(variables, batch, mode='loss', train=True,
                             mutable=['batch_stats'])
     assert all(np.isfinite(float(v)) for v in losses.values())
+
+
+def test_object_noise_moves_boxes_and_points():
+    """ObjectNoise jitters each box (collision-free) and carries the
+    box's interior points along with it."""
+    import numpy as np
+    from tpu_bev3d.registry import TRANSFORMS
+
+    t = TRANSFORMS.get('ObjectNoise')(
+        translation_std=(1.0, 1.0, 0.0), rot_range=(-0.5, 0.5), seed=3)
+    boxes = np.array([[0, 0, 0, 4, 2, 1.5, 0.0],
+                      [20, 20, 0, 4, 2, 1.5, 0.5]], np.float32)
+    # points inside box 0 and far background points
+    inside = np.concatenate(
+        [np.random.default_rng(0).uniform(-1, 1, (50, 2)) * [1.5, 0.8],
+         np.full((50, 1), 0.5), np.ones((50, 1))], -1).astype(np.float32)
+    bg = np.full((20, 4), 40.0, np.float32)
+    pts = np.concatenate([inside, bg], 0)
+    r = t(dict(gt_bboxes_3d=boxes.copy(),
+               gt_labels_3d=np.zeros(2, np.int64), points=pts.copy()))
+    nb = r['gt_bboxes_3d']
+    assert not np.allclose(nb, boxes)             # noise applied
+    assert np.allclose(nb[:, 3:6], boxes[:, 3:6])  # sizes unchanged
+    # background untouched; interior points moved with the box
+    np.testing.assert_array_equal(r['points'][50:], bg)
+    delta_box = nb[0, :3] - boxes[0, :3]
+    if np.abs(delta_box).max() > 1e-6:
+        assert not np.allclose(r['points'][:50], pts[:50])
+    # boxes still collision-free
+    from tpu_bev3d.datasets.transforms.dbsampler import _bev_collision
+    assert not _bev_collision(nb[:1, :7], nb[1:, :7]).any()
