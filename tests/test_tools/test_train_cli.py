@@ -1,0 +1,79 @@
+"""tools/train.py + tools/test.py CLI end to end (SURVEY §3.1/3.2 call
+stacks) — subprocess-level, over a generated mini-KITTI set."""
+import os
+import pickle
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+
+@pytest.fixture
+def mini_root(tmp_path):
+    rng = np.random.default_rng(0)
+    os.makedirs(tmp_path / 'points')
+    data_list = []
+    for i in range(4):
+        pts = rng.uniform([0, -40, -3, 0], [70, 40, 1, 1],
+                          (400, 4)).astype(np.float32)
+        rel = f'points/{i:06d}.bin'
+        pts.tofile(tmp_path / rel)
+        data_list.append(dict(
+            sample_idx=i,
+            lidar_points=dict(lidar_path=rel, num_pts_feats=4),
+            instances=[dict(bbox_3d=[20.0 + 3 * j, -4.0 + 2 * j, -1.0,
+                                     3.9, 1.6, 1.56, 0.1 * j],
+                            bbox_label_3d=j % 3, num_lidar_pts=5)
+                       for j in range(3)]))
+    with open(tmp_path / 'infos.pkl', 'wb') as f:
+        pickle.dump(dict(metainfo={}, data_list=data_list), f)
+    return tmp_path
+
+
+def test_train_and_test_cli(mini_root, tmp_path):
+    cfg_path = tmp_path / 'cfg.py'
+    cfg_path.write_text(f"""
+_base_ = ['{REPO}/configs/pointpillars/pointpillars_kitti_3class.py']
+model = dict(
+    voxel_size=[0.64, 0.64, 4], max_voxels=256, max_num_points=8,
+    voxel_encoder=dict(voxel_size=[0.64, 0.64, 4]),
+    middle_encoder=dict(output_shape=[128, 112]),
+    bbox_head=dict(nms_pre=64, max_num=8))
+train_cfg = dict(max_epochs=1, batch_size=2,
+                 optimizer=dict(type='adamw', lr=1e-4),
+                 scheduler=dict(type='const'), clip_grad_norm=35.0)
+_pipeline = [
+    dict(type='LoadPointsFromFile', load_dim=4, use_dim=4),
+    dict(type='LoadAnnotations3D'),
+    dict(type='PointsRangeFilter',
+         point_cloud_range=[0, -40, -3, 70.4, 40, 1]),
+    dict(type='Pack3DDetInputs', num_points=512, max_gt=8),
+]
+_ds = dict(type='KittiDataset', data_root='{mini_root}',
+           ann_file='infos.pkl', pipeline=_pipeline)
+train_dataloader = dict(dataset=_ds)
+test_dataloader = dict(dataset=dict(**_ds, test_mode=False))
+test_evaluator = dict(type='KittiMetric')
+num_workers = 0
+log_interval = 1
+""")
+    wd = str(tmp_path / 'wd')
+    env = dict(os.environ, TPU_BEV3D_PLATFORM='cpu')
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, 'tools', 'train.py'),
+         str(cfg_path), '--work-dir', wd],
+        capture_output=True, text=True, timeout=900, env=env, cwd=REPO)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert any(d.startswith('ckpt_') for d in os.listdir(wd)), \
+        os.listdir(wd)
+
+    r2 = subprocess.run(
+        [sys.executable, os.path.join(REPO, 'tools', 'test.py'),
+         str(cfg_path), '--work-dir', wd],
+        capture_output=True, text=True, timeout=900, env=env, cwd=REPO)
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    assert '[eval]' in r2.stdout, r2.stdout[-2000:]

@@ -25,7 +25,18 @@ def parse_args():
     return p.parse_args()
 
 
+def _honor_platform_env():
+    # this environment's sitecustomize force-sets JAX_PLATFORMS=axon at
+    # interpreter start, so the env var alone cannot select a platform;
+    # jax.config.update after import can (see tests/conftest.py)
+    want = os.environ.get('TPU_BEV3D_PLATFORM')
+    if want:
+        import jax
+        jax.config.update('jax_platforms', want)
+
+
 def main():
+    _honor_platform_env()
     args = parse_args()
     from tpu_bev3d.config import Config
     from tpu_bev3d.engine.runner import Runner

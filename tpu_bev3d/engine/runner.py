@@ -168,7 +168,12 @@ class Runner:
         if state is None:
             from .checkpoint import latest_checkpoint, restore_checkpoint
             tcfg = self.cfg.get('train_cfg', {})
-            tx, _ = build_optimizer(tcfg.get('optimizer', {}), 1)
+            # build the optimizer EXACTLY as train() did: scheduler and
+            # grad-clip change the opt-state tree structure, and orbax
+            # restore requires a matching target
+            tx, _ = build_optimizer(tcfg.get('optimizer', {}), 1,
+                                    tcfg.get('scheduler'),
+                                    tcfg.get('clip_grad_norm'))
             batch0 = self._first_device_batch(loader)
             state = create_train_state(self.model, batch0, tx)
             p = latest_checkpoint(self.work_dir)
