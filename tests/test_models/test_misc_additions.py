@@ -193,3 +193,59 @@ def test_iou_neg_piecewise_sampler():
     _, is_pos2, valid2 = s.sample(jax.random.PRNGKey(1), ious2)
     assert np.asarray(is_pos2).sum() == 0
     assert np.asarray(valid2)[:16].sum() == 0  # no positives available
+
+
+def test_mono_coders_match_heads():
+    """SMOKE/MonoFlex/FCOS3D coders (task-module API) share the heads'
+    decode implementations exactly."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from tpu_bev3d.registry import MODELS, TASK_UTILS
+    from tpu_bev3d.models.dense_heads.smoke_head import SMOKEMono3DHead
+    from tpu_bev3d.models.dense_heads.fcos_mono3d_head import \
+        FCOSMono3DHead
+
+    rng = np.random.default_rng(0)
+    cam2img = jnp.asarray(np.tile(np.array(
+        [[100., 0, 64], [0, 100., 48], [0, 0, 1]], np.float32),
+        (2, 1, 1)))
+
+    # SMOKE
+    out = dict(heatmap=jnp.asarray(rng.normal(size=(2, 12, 16, 3))
+                                   .astype(np.float32)),
+               reg=jnp.asarray(rng.normal(size=(2, 12, 16, 8))
+                               .astype(np.float32)))
+    head = SMOKEMono3DHead(max_num=8)
+    coder = TASK_UTILS.get('SMOKECoder')(max_num=8)
+    b1, s1, c1 = head._decode_common(out, cam2img)
+    b2, s2, c2 = coder.decode(out, cam2img)
+    np.testing.assert_array_equal(np.asarray(b1), np.asarray(b2))
+    np.testing.assert_array_equal(np.asarray(c1), np.asarray(c2))
+
+    # MonoFlex
+    from tpu_bev3d.models.dense_heads.monoflex_head import (MonoFlexHead,
+                                                            REG_CH)
+    outm = dict(heatmap=jnp.asarray(rng.normal(size=(2, 12, 16, 3))
+                                    .astype(np.float32)),
+                reg=jnp.asarray(rng.normal(size=(2, 12, 16, REG_CH))
+                                .astype(np.float32)))
+    mh = MonoFlexHead(max_num=8)
+    mc = TASK_UTILS.get('MonoFlexCoder')(max_num=8)
+    b1, s1, c1 = mh._decode_common(outm, cam2img)
+    b2, s2, c2 = mc.decode(outm, cam2img)
+    np.testing.assert_array_equal(np.asarray(b1), np.asarray(b2))
+
+    # FCOS3D level decode
+    outf = dict(cls=jnp.asarray(rng.normal(size=(2, 8, 12, 10))
+                                .astype(np.float32)),
+                centerness=jnp.asarray(rng.normal(size=(2, 8, 12, 1))
+                                       .astype(np.float32)),
+                reg=jnp.asarray(rng.normal(size=(2, 8, 12, 8))
+                                .astype(np.float32)))
+    fh = FCOSMono3DHead()
+    fc = TASK_UTILS.get('FCOS3DBBoxCoder')()
+    b1, s1 = fh._decode_level(outf, 8, cam2img)
+    b2, s2 = fc.decode_level(outf, 8, cam2img)
+    np.testing.assert_array_equal(np.asarray(b1), np.asarray(b2))
+    np.testing.assert_array_equal(np.asarray(s1), np.asarray(s2))
