@@ -30,3 +30,24 @@ def test_export_roundtrip(tmp_path):
     ref = model.apply(variables, batch, mode='predict')
     assert np.allclose(np.asarray(out['bboxes']), np.asarray(ref['bboxes']),
                        atol=1e-5)
+
+
+def test_export_flagship_tiny_roundtrip(tmp_path):
+    """The fused L+C flagship (tiny geometry) exports to StableHLO and
+    reloads with identical predictions — the deploy path for the actual
+    bench model family."""
+    import __graft_entry__ as g
+    cfg = g._flagship_cfg(tiny=True)
+    model = build_detector_from_cfg(cfg.model)
+    batch = g._make_batch(cfg, batch_size=1, num_points=256,
+                          image_size=(64, 176))
+    variables = model.init(jax.random.PRNGKey(0), batch, mode='tensor')
+    path = export_model(model, variables, batch,
+                        str(tmp_path / 'flagship.hlo'))
+    fn = load_exported(path)
+    out = fn(batch)
+    ref = model.apply(variables, batch, mode='predict')
+    assert np.allclose(np.asarray(out['bboxes']),
+                       np.asarray(ref['bboxes']), atol=1e-5)
+    assert np.allclose(np.asarray(out['scores']),
+                       np.asarray(ref['scores']), atol=1e-5)
