@@ -78,3 +78,23 @@ def test_roi_aware_pool_places_features():
     out_avg = roi_aware_pool(xyz, feats, valid, rois, grid_size=4,
                              mode='avg')
     assert float(out_avg[0, 3, 2, 2, 0]) == 2.0
+
+
+def test_parta2_roi_sampler_option(small_cfg):
+    """with_roi_sampler restricts the RCNN loss to a sampled RoI subset
+    (IoUNegPiecewiseSampler, ref train_cfg sampler) — runs finite."""
+    import copy
+    cfg = copy.deepcopy(small_cfg)
+    cfg.model.roi_head.with_roi_sampler = True
+    cfg.model.roi_head.roi_sampler = dict(
+        num=8, pos_fraction=0.5, neg_piece_fractions=[0.8, 0.2],
+        neg_iou_piece_thrs=[0.55, 0.1])
+    model = build_detector_from_cfg(cfg.model)
+    batch = create_detector_inputs(batch_size=2, num_points=512, num_gt=4)
+    batch = {k: jnp.asarray(v) for k, v in batch.items()}
+    variables = model.init(jax.random.PRNGKey(0), batch, mode='tensor')
+    losses, _ = model.apply(variables, batch, mode='loss', train=True,
+                            mutable=['batch_stats'])
+    for k, v in losses.items():
+        assert np.isfinite(float(v)), k
+    assert 'loss_rcnn_cls' in losses

@@ -159,6 +159,12 @@ class PartA2RoIHead(nn.Module):
     pos_iou_thr: float = 0.55
     cls_pos_thr: float = 0.75      # ref train_cfg cls_pos_thr
     cls_neg_thr: float = 0.25
+    # optional reference RoI sampling (ref train_cfg sampler
+    # IoUNegPiecewiseSampler): restrict the RCNN loss to `num` sampled
+    # RoIs with piecewise negative quotas; off → all proposals weighted
+    # (the round-1..3 behavior)
+    with_roi_sampler: bool = False
+    roi_sampler: Any = None        # dict(num=..., pos_fraction=..., ...)
 
     @nn.compact
     def __call__(self, unet_out, proposals, train: bool = False):
@@ -223,12 +229,32 @@ class PartA2RoIHead(nn.Module):
     def loss(self, out, gt_bboxes, gt_labels, gt_mask):
         """IoU-guided cls (interpolated 0.25→0.75 soft target, ref
         parta2_bbox_head get_targets) + canonical reg on iou>0.55."""
-        def one(prop, delta, cls_logit, pmask, gtb, gtm):
+        def one(b, prop, delta, cls_logit, pmask, gtb, gtm):
             iou = nearest_iou_bev(prop, gtb[:, :7])
             iou = jnp.where(gtm[None] & pmask[:, None], iou, -1.0)
             best = jnp.argmax(iou, -1)
             best_iou = jnp.max(iou, -1)
             pos = best_iou > self.pos_iou_thr
+            # optional reference-style RoI sampling: loss restricted to
+            # the sampled subset via a weight mask (fixed shapes)
+            if self.with_roi_sampler:
+                from ..task_modules import IoUNegPiecewiseSampler
+                sampler = IoUNegPiecewiseSampler(
+                    **dict(self.roi_sampler or {}))
+                # per-step pseudo-randomness derived from the logits (no
+                # rng is threaded through the loss path; logits change
+                # every step, so the sampled subset does too)
+                seed = jax.lax.bitcast_convert_type(
+                    jnp.sum(cls_logit), jnp.int32)
+                key = jax.random.fold_in(jax.random.PRNGKey(0),
+                                         seed + b)
+                idx, _, valid_s = sampler.sample(
+                    key, jnp.clip(best_iou, 0.0, 1.0))
+                w = jnp.zeros(prop.shape[0], jnp.float32).at[idx].add(
+                    valid_s.astype(jnp.float32))
+                w = jnp.minimum(w, 1.0) * pmask
+                pos = pos & (w > 0)
+                pmask = w > 0
             g = gtb[best]
             diag = jnp.sqrt(prop[:, 3] ** 2 + prop[:, 4] ** 2)
             tgt = jnp.concatenate([
@@ -253,8 +279,9 @@ class PartA2RoIHead(nn.Module):
                 / jnp.maximum(jnp.sum(pmask), 1.0)
             return l_reg, l_cls
 
+        B = out['_proposals'].shape[0]
         l_reg, l_cls = jax.vmap(one)(
-            out['_proposals'], out['_delta'], out['_cls_logit'],
-            out['mask'], gt_bboxes, gt_mask)
+            jnp.arange(B), out['_proposals'], out['_delta'],
+            out['_cls_logit'], out['mask'], gt_bboxes, gt_mask)
         return dict(loss_rcnn_reg=jnp.mean(l_reg),
                     loss_rcnn_cls=jnp.mean(l_cls))
