@@ -188,11 +188,25 @@ def test_iou_neg_piecewise_sampler():
     assert np.all(iou_sel[p] >= 0.55)
     assert np.all(iou_sel[v & ~p] < 0.55)
     assert p.sum() == 16                      # pos quota filled
+    # per-piece fill: thr[i] is the UPPER bound of piece i, so with
+    # uniform IoUs both pieces have plenty of candidates and all 16 neg
+    # slots must be valid — piece 0 drawn from [0.1, 0.55), piece 1 (the
+    # last 3 slots by quota rounding) from [0, 0.55) after back-fill.
+    neg_sel = iou_sel[16:]
+    assert v[16:].all(), 'all neg slots should fill (400+ candidates)'
+    assert np.all(neg_sel < 0.55)
+    # piece 0 quota = round(16*0.8) = 13 slots strictly in [0.1, 0.55)
+    assert np.all(neg_sel[:13] >= 0.1)
+    # piece 1 covers [0, 0.1): at least one low-IoU negative sampled
+    assert np.any(neg_sel[13:] < 0.1)
     # scarce positives -> invalid pos slots flagged
     ious2 = jnp.asarray(np.full((300,), 0.2, np.float32))
     _, is_pos2, valid2 = s.sample(jax.random.PRNGKey(1), ious2)
     assert np.asarray(is_pos2).sum() == 0
     assert np.asarray(valid2)[:16].sum() == 0  # no positives available
+    # back-fill: a piece with zero candidates still fills from the pool
+    _, _, valid3 = s.sample(jax.random.PRNGKey(2), ious2)
+    assert np.asarray(valid3)[16:].all()  # all IoU=0.2 -> piece 0 + fill
 
 
 def test_mono_coders_match_heads():

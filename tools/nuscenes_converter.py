@@ -80,11 +80,25 @@ def _project_box_2d(bbox_3d, lidar2cam, cam2img, im_w, im_h):
     corners = corners_lidar(np.asarray(bbox_3d, np.float32)[None])[0]
     hom = np.concatenate([corners, np.ones((8, 1), np.float32)], -1)
     cam = hom @ np.asarray(lidar2cam, np.float32).T        # [8, 4]
-    in_front = cam[:, 2] > 0.1
+    near = 0.1
+    in_front = cam[:, 2] > near
     if not in_front.any():
         return None
+    # Clip the 12 box edges against the z=near plane before projecting
+    # (ref post_process_coords intersects the projected hull with the
+    # canvas; without clipping, boxes straddling the image plane project
+    # behind-camera corners to bogus uv and get distorted extents).
+    edges = [(0, 1), (1, 2), (2, 3), (3, 0), (4, 5), (5, 6), (6, 7),
+             (7, 4), (0, 4), (1, 5), (2, 6), (3, 7)]
+    pts3 = [c[:3] for c in cam if c[2] > near]
+    for a, b in edges:
+        za, zb = cam[a, 2], cam[b, 2]
+        if (za > near) != (zb > near):
+            t = (near - za) / (zb - za)
+            pts3.append(cam[a, :3] + t * (cam[b, :3] - cam[a, :3]))
+    pts3 = np.asarray(pts3, np.float32)
     K = np.asarray(cam2img, np.float32)
-    pts = cam[in_front, :3] @ K.T
+    pts = pts3 @ K.T
     uv = pts[:, :2] / pts[:, 2:3]
     x0, y0 = uv.min(0)
     x1, y1 = uv.max(0)

@@ -26,11 +26,14 @@ def _load_lib():
     if _lib is not None or _tried:
         return _lib
     _tried = True
-    if not os.path.exists(_LIB_PATH):
-        try:
-            subprocess.run(['make', '-C', _CSRC], check=True,
-                           capture_output=True, timeout=120)
-        except Exception:
+    # Always invoke make: its mtime check makes this a no-op when the .so
+    # is current, and it rebuilds after .cc edits (stale committed binaries
+    # would otherwise be loaded silently).
+    try:
+        subprocess.run(['make', '-C', _CSRC], check=True,
+                       capture_output=True, timeout=120)
+    except Exception:
+        if not os.path.exists(_LIB_PATH):
             return None
     try:
         lib = ctypes.CDLL(_LIB_PATH)

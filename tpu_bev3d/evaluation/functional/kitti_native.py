@@ -28,11 +28,13 @@ def _load_lib():
     if _lib is not None or _tried:
         return _lib
     _tried = True
-    if not os.path.exists(_LIB_PATH):
-        try:
-            subprocess.run(['make', '-C', _CSRC], check=True,
-                           capture_output=True, timeout=120)
-        except Exception:
+    # Always invoke make (mtime no-op when current) so .cc edits are
+    # never shadowed by a stale binary.
+    try:
+        subprocess.run(['make', '-C', _CSRC], check=True,
+                       capture_output=True, timeout=120)
+    except Exception:
+        if not os.path.exists(_LIB_PATH):
             return None
     try:
         lib = ctypes.CDLL(_LIB_PATH)

@@ -154,8 +154,11 @@ def fused_point_stem_scatter_sorted(points, points_mask, weight, *,
     def one(pts, msk):
         cxyz, in_range, _ = compute_voxel_coords(
             pts, tuple(voxel_size), tuple(pc_range))
-        valid = msk & in_range
         x, y, z = cxyz[:, 0], cxyz[:, 1], cxyz[:, 2]
+        # Explicit grid bound guard (matches fused_point_stem_scatter):
+        # if sparse_shape is smaller than the voxel_size/pc_range-implied
+        # grid, lin could exceed the sentinel and corrupt the canvas.
+        valid = msk & in_range & (x < nx) & (y < ny) & (z < nz)
         lin = jnp.where(valid, z * (ny * nx) + y * nx + x, nz * ny * nx)
         order = jnp.argsort(lin, stable=True)
         lin_s = lin[order]
