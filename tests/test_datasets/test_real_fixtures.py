@@ -1,0 +1,328 @@
+"""Real-data validation harness (VERDICT r1 item 1).
+
+Runs the dataset layer, coordinate conversions, pipelines, metrics, and
+a model predict against the vendored REAL miniature fixtures under
+tests/data/ (see tests/data/README.md for provenance):
+
+- tests/data/kitti — reference v2 info pkl (camera-frame boxes,
+  categories table) + real velodyne bins.
+- tests/data/demo/kitti — real 17k-point cloud, 10 real instances with
+  per-box num_lidar_pts (exact coordinate-fidelity oracle).
+- tests/data/nuscenes — 2 real keyframes, old-metainfo pkl (CLASSES in
+  devkit order ≠ our class order → exercises the label remap), sweeps.
+- tests/data/demo/nuscenes — full real frame: 34k-pt cloud + 6 cameras
+  + v2 pkl with 69 instances.
+"""
+import os
+import pickle
+
+import numpy as np
+import pytest
+
+DATA = os.path.join(os.path.dirname(__file__), '..', 'data')
+KITTI = os.path.join(DATA, 'kitti')
+NUS = os.path.join(DATA, 'nuscenes')
+DEMO_KITTI = os.path.join(DATA, 'demo', 'kitti')
+DEMO_NUS = os.path.join(DATA, 'demo', 'nuscenes')
+NUS_DEMO_PKL = 'n015-2018-07-24-11-22-45+0800.pkl'
+
+LOAD_K = [dict(type='LoadPointsFromFile', load_dim=4, use_dim=4),
+          dict(type='LoadAnnotations3D')]
+
+
+def test_kitti_real_info_pkl():
+    """Reference v2 KITTI pkl loads: categories remap (Van→-1 dropped),
+    camera→lidar box conversion, data_prefix path resolution."""
+    from tpu_bev3d.datasets import KittiDataset
+    ds = KittiDataset(data_root=KITTI, ann_file='kitti_infos_train.pkl',
+                      data_prefix=dict(pts='training/velodyne'),
+                      pipeline=LOAD_K)
+    assert len(ds) == 1
+    # categories table: Pedestrian/Cyclist/Car keep ids, Van..Misc → -1
+    assert ds.label_remap[0] == 0 and ds.label_remap[2] == 2
+    assert ds.label_remap[3] == -1
+    info = ds.get_data_info(0)
+    assert os.path.isfile(info['lidar_path'])
+    ann = info['ann_info']
+    # the single GT is the Pedestrian at cam (1.84, 1.47, 8.41): in lidar
+    # it must sit ~8.7 m ahead (x), slightly left (y<0), bottom below
+    # the sensor, with dims (l=1.2, w=0.48, h=1.89)
+    assert ann['gt_labels_3d'].tolist() == [0]
+    b = ann['gt_bboxes_3d'][0]
+    assert 8.0 < b[0] < 9.5 and -3 < b[1] < 0 and -2.5 < b[2] < -1
+    np.testing.assert_allclose(b[3:6], [1.2, 0.48, 1.89], atol=1e-5)
+    s = ds.prepare_data(0)
+    assert s['points'].shape[1] == 4 and len(s['points']) > 100
+
+
+def test_kitti_demo_real_cloud_exact_point_counts():
+    """The strongest coordinate oracle: converting the demo frame's
+    camera-frame GT to lidar and counting cloud points inside each box
+    must reproduce the annotation's num_lidar_pts EXACTLY (it does for
+    all 6 non-DontCare cars: 1325/1900/881/659/55/162)."""
+    from tpu_bev3d.datasets import KittiDataset
+    from tpu_bev3d.structures.boxes3d import points_in_rbbox
+    ds = KittiDataset(data_root=DEMO_KITTI, ann_file='000008.pkl',
+                      pipeline=LOAD_K)
+    info = ds.get_data_info(0)
+    ann = info['ann_info']
+    assert len(ann['gt_labels_3d']) == 6  # 10 instances, 4 DontCare
+    assert (ann['gt_labels_3d'] == 2).all()  # all cars
+    s = ds.prepare_data(0)
+    counts = points_in_rbbox(s['points'][:, :3],
+                             ann['gt_bboxes_3d']).sum(0)
+    with open(os.path.join(DEMO_KITTI, '000008.pkl'), 'rb') as f:
+        raw = pickle.load(f)['data_list'][0]['instances']
+    expected = [i['num_lidar_pts'] for i in raw if i['bbox_label_3d'] > -1]
+    assert counts.tolist() == expected, (counts.tolist(), expected)
+
+
+def test_nuscenes_real_info_pkl_with_remap_and_sweeps():
+    """Old-metainfo nuScenes pkl: devkit class order remaps onto our
+    order, sweeps resolve via data_prefix and concatenate, velocity
+    makes 9-DoF boxes, boxes come out bottom-centered."""
+    from tpu_bev3d.datasets import NuScenesDataset
+    pipe = [dict(type='LoadPointsFromFile', load_dim=5, use_dim=5),
+            dict(type='LoadPointsFromMultiSweeps', sweeps_num=2,
+                 load_dim=5, use_dim=[0, 1, 2, 4], pad_empty_sweeps=True,
+                 remove_close=True, test_mode=True),
+            dict(type='LoadAnnotations3D')]
+    ds = NuScenesDataset(
+        data_root=NUS, ann_file='nus_info.pkl',
+        data_prefix=dict(pts='samples/LIDAR_TOP',
+                         sweeps='sweeps/LIDAR_TOP', img=''),
+        modality=dict(use_lidar=True, use_camera=True), pipeline=pipe)
+    assert len(ds) == 2
+    # pkl CLASSES order: car,truck,trailer,bus,cv,... → ours:
+    # trailer(pkl 2)→4, construction_vehicle(pkl 4)→2, barrier(pkl 9)→5
+    assert ds.label_remap == {0: 0, 1: 1, 2: 4, 3: 3, 4: 2, 5: 7,
+                              6: 6, 7: 8, 8: 9, 9: 5}
+    info = ds.get_data_info(0)
+    assert info['token'] == 'fd8420396768425eabec9bdddf7e64b6'
+    ann = info['ann_info']
+    assert ann['gt_bboxes_3d'].shape[1] == 9  # velocity appended
+    assert np.isfinite(ann['gt_bboxes_3d']).all()  # nan velocities zeroed
+    # raw pkl stores gravity-centered z; dataset must subtract h/2
+    with open(os.path.join(NUS, 'nus_info.pkl'), 'rb') as f:
+        raw = pickle.load(f)['data_list'][0]['instances']
+    kept = [i for i in raw if i['num_lidar_pts'] > 0]
+    exp_z = kept[0]['bbox_3d'][2] - kept[0]['bbox_3d'][5] / 2
+    assert abs(ann['gt_bboxes_3d'][0, 2] - exp_z) < 1e-5
+    s = ds.prepare_data(1)  # entry 1 has 2 real sweeps
+    assert len(s['points']) > 0
+    # dt channel (last) spans keyframe(0) and sweeps (~0.1 s)
+    dt = s['points'][:, -1]
+    assert dt.min() == 0.0 and 0.05 < dt.max() < 0.2
+    # camera info resolved with per-dataset prefix
+    assert len(info['img_paths']) == 6
+    assert info['lidar2img'][0].shape == (4, 4)
+
+
+def test_nuscenes_demo_real_frame_point_counts():
+    """Full real frame: v2 pkl (categories, isvalid flags) through the
+    dataset; ≥20 of the 28 ≥5-point GT boxes reproduce num_lidar_pts
+    exactly after the gravity→bottom center shift."""
+    from tpu_bev3d.datasets import NuScenesDataset
+    from tpu_bev3d.structures.boxes3d import points_in_rbbox
+    ds = NuScenesDataset(
+        data_root=DEMO_NUS, ann_file=NUS_DEMO_PKL,
+        use_valid_flag=True,
+        pipeline=[dict(type='LoadPointsFromFile', load_dim=5, use_dim=5),
+                  dict(type='LoadAnnotations3D')])
+    assert ds.label_remap is not None  # categories order ≠ ours
+    info = ds.get_data_info(0)
+    ann = info['ann_info']
+    s = ds.prepare_data(0)
+    assert len(s['points']) > 30000  # real full cloud
+    boxes = ann['gt_bboxes_3d'][:, :7].copy()
+    counts = points_in_rbbox(s['points'][:, :3], boxes).sum(0)
+    with open(os.path.join(DEMO_NUS, NUS_DEMO_PKL), 'rb') as f:
+        raw = pickle.load(f)['data_list'][0]['instances']
+    kept = [i for i in raw if i['bbox_3d_isvalid']]
+    assert len(kept) == len(boxes)
+    exp = np.asarray([i['num_lidar_pts'] for i in kept])
+    sel = exp >= 5
+    exact = (counts == exp)[sel].sum()
+    close = (np.abs(counts - exp) <= np.maximum(2, 0.1 * exp))[sel]
+    assert exact >= 20, (exact, sel.sum())
+    assert close.all(), list(zip(counts[sel], exp[sel]))
+
+
+def test_kitti_real_eval_gt_as_predictions():
+    """The full official-protocol KITTI eval run on REAL annotations:
+    GT fed back as detections (replicated to fill the 41-recall-point
+    protocol) scores near-perfect AP40, and beats perturbed boxes."""
+    from tpu_bev3d.datasets import KittiDataset
+    from tpu_bev3d.evaluation.functional.kitti_eval import kitti_eval
+    ds = KittiDataset(data_root=DEMO_KITTI, ann_file='000008.pkl',
+                      pipeline=LOAD_K)
+    ann = ds.get_data_info(0)['ann_info']
+    with open(os.path.join(DEMO_KITTI, '000008.pkl'), 'rb') as f:
+        raw = pickle.load(f)['data_list'][0]['instances']
+    kept = [i for i in raw if i['bbox_label_3d'] > -1]
+    gt_one = dict(boxes=ann['gt_bboxes_3d'], labels=ann['gt_labels_3d'],
+                  names=['Car'] * len(kept),
+                  bbox2d=np.asarray([i['bbox'] for i in kept], np.float32),
+                  occluded=np.asarray([i['occluded'] for i in kept]),
+                  truncated=np.asarray([i['truncated'] for i in kept]))
+    rng = np.random.default_rng(0)
+    gts, preds, preds_bad = [], [], []
+    for _ in range(10):
+        gts.append(gt_one)
+        preds.append(dict(boxes=gt_one['boxes'], labels=gt_one['labels'],
+                          scores=rng.uniform(0.5, 1.0, len(kept))
+                          .astype(np.float32)))
+        bad = gt_one['boxes'].copy()
+        bad[:, :2] += rng.normal(0, 1.5, (len(kept), 2))
+        preds_bad.append(dict(boxes=bad, labels=gt_one['labels'],
+                              scores=preds[-1]['scores']))
+    classes = ['Pedestrian', 'Cyclist', 'Car']  # labels index this list
+    out = kitti_eval(preds, gts, classes, metrics=('bev', '3d'))
+    assert out['Car_3d_moderate_AP40'] > 90, out
+    out_bad = kitti_eval(preds_bad, gts, classes, metrics=('3d',))
+    assert out_bad['Car_3d_moderate_AP40'] < out['Car_3d_moderate_AP40']
+
+
+def test_nuscenes_real_eval_gt_as_predictions():
+    """Devkit-fidelity NDS on real annotations: GT as predictions →
+    mAP ≈ 1, TP errors ≈ 0, NDS ≈ 1."""
+    from tpu_bev3d.datasets import NuScenesDataset
+    from tpu_bev3d.evaluation.functional.nuscenes_eval import nuscenes_eval
+    ds = NuScenesDataset(data_root=DEMO_NUS, ann_file=NUS_DEMO_PKL,
+                         use_valid_flag=True,
+                         pipeline=[dict(type='LoadAnnotations3D')])
+    ann = ds.get_data_info(0)['ann_info']
+    classes = ds.classes
+    keep = ann['gt_labels_3d'] >= 0
+    boxes = ann['gt_bboxes_3d'][keep]
+    labels = ann['gt_labels_3d'][keep]
+    gt = [dict(boxes=boxes, labels=labels)]
+    pred = [dict(boxes=boxes, labels=labels,
+                 scores=np.linspace(0.99, 0.5, len(boxes))
+                 .astype(np.float32))]
+    out = nuscenes_eval(pred, gt, classes)
+    assert out['mAP'] > 0.99, out['mAP']
+    assert out['NDS'] > 0.9, out['NDS']
+    # perturbed predictions must score strictly lower
+    bad = boxes.copy()
+    bad[:, :2] += np.random.default_rng(1).normal(0, 1.0, (len(bad), 2))
+    out_bad = nuscenes_eval([dict(boxes=bad, labels=labels,
+                                  scores=pred[0]['scores'])], gt, classes)
+    assert out_bad['NDS'] < out['NDS']
+
+
+def test_real_kitti_pipeline_into_model():
+    """Real cloud → full train pipeline → Pack3DDetInputs → PointPillars
+    loss + predict: finite losses, valid fixed-shape batch."""
+    import jax
+    import jax.numpy as jnp
+    from tpu_bev3d.config import Config
+    from tpu_bev3d.datasets import KittiDataset, DataLoader
+    from tpu_bev3d.testing import build_detector_from_cfg
+
+    pipeline = LOAD_K + [
+        dict(type='GlobalRotScaleTrans', rot_range=[-0.1, 0.1],
+             scale_ratio_range=[0.95, 1.05]),
+        dict(type='RandomFlip3D', flip_ratio_bev_horizontal=0.5),
+        dict(type='PointsRangeFilter',
+             point_cloud_range=[0, -40, -3, 70.4, 40, 1]),
+        dict(type='ObjectRangeFilter',
+             point_cloud_range=[0, -40, -3, 70.4, 40, 1]),
+        dict(type='PointShuffle'),
+        dict(type='Pack3DDetInputs', num_points=20000, max_gt=16),
+    ]
+    ds = KittiDataset(data_root=DEMO_KITTI, ann_file='000008.pkl',
+                      pipeline=pipeline)
+    b = next(iter(DataLoader(ds, batch_size=1)))
+    assert b['points'].shape == (1, 20000, 4)
+    assert b['gt_mask'].sum() == 6
+
+    cfg = Config.fromfile('configs/pointpillars/pointpillars_kitti_3class.py')
+    m = cfg.model
+    m.voxel_size = [0.64, 0.64, 4]
+    m.max_voxels = 1024
+    m.max_num_points = 16
+    m.voxel_encoder.voxel_size = [0.64, 0.64, 4]
+    m.middle_encoder.output_shape = [128, 112]
+    m.bbox_head.nms_pre = 64
+    m.bbox_head.max_num = 8
+    model = build_detector_from_cfg(m)
+    batch = {k: jnp.asarray(v) for k, v in b.items()
+             if k not in ('metainfo', 'lidar_aug')}
+    variables = model.init(jax.random.PRNGKey(0), batch, mode='tensor')
+    losses, _ = model.apply(variables, batch, mode='loss', train=True,
+                            mutable=['batch_stats'])
+    assert all(np.isfinite(float(v)) for v in losses.values())
+    preds = model.apply(variables, batch, mode='predict', train=False)
+    assert np.isfinite(np.asarray(preds['bboxes'])).all()
+
+
+def test_real_nuscenes_frame_through_flagship_tiny():
+    """The headline integration: a REAL nuScenes frame (full cloud + 6
+    real camera images + real calibration) through the L+C pipeline into
+    the tiny flagship BEVFusion predict. Validates image loading/aug,
+    calib stacking, lidar2img composition, and the fused predict path on
+    real inputs end to end."""
+    import jax
+    import jax.numpy as jnp
+    import __graft_entry__ as g
+    from tpu_bev3d.datasets import NuScenesDataset, DataLoader
+    from tpu_bev3d.testing import build_detector_from_cfg
+
+    cfg = g._flagship_cfg(tiny=True)
+    pipeline = [
+        dict(type='LoadPointsFromFile', load_dim=5, use_dim=5),
+        dict(type='BEVLoadMultiViewImageFromFiles', num_views=6),
+        dict(type='ImageAug3D', final_dim=(64, 176),
+             resize_lim=(0.11, 0.11), is_train=False),
+        dict(type='PointsRangeFilter',
+             point_cloud_range=[-54, -54, -5, 54, 54, 3]),
+        dict(type='Pack3DDetInputs', num_points=40000, max_gt=80,
+             box_dim=9),
+    ]
+    ds = NuScenesDataset(data_root=DEMO_NUS, ann_file=NUS_DEMO_PKL,
+                         use_valid_flag=True,
+                         modality=dict(use_lidar=True, use_camera=True),
+                         pipeline=pipeline)
+    b = next(iter(DataLoader(ds, batch_size=1)))
+    assert b['imgs'].shape == (1, 6, 64, 176, 3)
+    assert np.isfinite(b['imgs']).all()
+    assert b['points_mask'].sum() > 30000
+    batch = {k: jnp.asarray(v) for k, v in b.items() if k != 'metainfo'}
+    if 'lidar_aug' not in batch:
+        batch['lidar_aug'] = jnp.tile(jnp.eye(4, dtype=jnp.float32),
+                                      (1, 1, 1))
+    model = build_detector_from_cfg(cfg.model)
+    variables = jax.jit(
+        lambda r, bb: model.init(r, bb, mode='tensor'))(
+            jax.random.PRNGKey(0), batch)
+    preds = model.apply(variables, batch, mode='predict', train=False)
+    assert np.isfinite(np.asarray(preds['bboxes'])).all()
+    assert np.isfinite(np.asarray(preds['scores'])).all()
+    # real points project into the camera: the depth-supervision targets
+    # derived from the real cloud+calib must put >100 pixels in range
+    l2i = np.asarray(batch['lidar2img'])[0]
+    pts = np.asarray(batch['points'])[0][np.asarray(batch['points_mask'])[0]]
+    hom = np.concatenate([pts[:, :3], np.ones((len(pts), 1))], -1)
+    cam = hom @ l2i[0].T
+    uv = cam[:, :2] / np.maximum(cam[:, 2:3], 1e-5)
+    vis = (cam[:, 2] > 1) & (uv[:, 0] >= 0) & (uv[:, 0] < 176) \
+        & (uv[:, 1] >= 0) & (uv[:, 1] < 64)
+    assert vis.sum() > 100
+
+
+def test_visualizer_real_frame_render(tmp_path):
+    """Headless BEV + image-projection render from the real KITTI demo
+    frame (the VERDICT 'demo render from a real cloud' item)."""
+    from tpu_bev3d.datasets import KittiDataset
+    from tpu_bev3d.visualization import Det3DVisualizer
+    ds = KittiDataset(data_root=DEMO_KITTI, ann_file='000008.pkl',
+                      pipeline=LOAD_K)
+    info = ds.get_data_info(0)
+    s = ds.prepare_data(0)
+    vis = Det3DVisualizer(classes=['Pedestrian', 'Cyclist', 'Car'])
+    out = os.path.join(tmp_path, 'bev.png')
+    vis.draw_bev(points=s['points'],
+                 gt_bboxes=info['ann_info']['gt_bboxes_3d'],
+                 out_file=out, pc_range=(0, -40, 70.4, 40))
+    assert os.path.isfile(out) and os.path.getsize(out) > 1000

@@ -45,6 +45,7 @@ class Det3DDataset:
     def __init__(self, data_root: str = '', ann_file: str = '',
                  pipeline: Sequence = (), metainfo: Optional[dict] = None,
                  modality: Optional[dict] = None,
+                 data_prefix: Optional[dict] = None,
                  box_type_3d: str = 'LiDAR',
                  filter_empty_gt: bool = True, test_mode: bool = False,
                  load_interval: int = 1, **kwargs):
@@ -56,10 +57,15 @@ class Det3DDataset:
         self.classes = list(self.metainfo.get('classes', []))
         self.label_mapping = {name: i for i, name in enumerate(self.classes)}
         self.modality = modality or dict(use_lidar=True, use_camera=False)
+        self.data_prefix = dict(pts='', img='', sweeps='')
+        if data_prefix:
+            self.data_prefix.update(data_prefix)
         self.filter_empty_gt = filter_empty_gt
         self.test_mode = test_mode
         self.pipeline = compose(pipeline)
+        self.info_metainfo: Dict[str, Any] = {}
         self.data_list = self._load_data_list()[::load_interval]
+        self.label_remap = self._build_label_remap()
 
     # ------------------------------------------------------------------ io
 
@@ -70,8 +76,29 @@ class Det3DDataset:
         with open(path, 'rb') as f:
             data = pickle.load(f)
         if isinstance(data, dict) and 'data_list' in data:
+            self.info_metainfo = data.get('metainfo', {}) or {}
             return data['data_list']
         return data
+
+    def _build_label_remap(self) -> Optional[dict]:
+        """Map info-pkl label ids → dataset class indices.
+
+        Ref BaseDataset/Det3DDataset build label_mapping from the pkl's
+        own class table so a pkl whose class order differs from (or is a
+        superset of) the training classes still yields correct labels —
+        v2 infos carry ``categories`` (name→id, det3d_dataset.py:131-157),
+        v1 infos a ``CLASSES`` tuple. Classes outside the training set
+        map to -1 (DontCare semantics)."""
+        cats = self.info_metainfo.get('categories')
+        if isinstance(cats, dict) and cats:
+            return {int(i): self.label_mapping.get(n, -1)
+                    for n, i in cats.items()}
+        seq = self.info_metainfo.get('CLASSES') \
+            or self.info_metainfo.get('classes')
+        if seq and list(seq) != self.classes:
+            return {i: self.label_mapping.get(n, -1)
+                    for i, n in enumerate(seq)}
+        return None
 
     def __len__(self):
         return len(self.data_list)
@@ -91,6 +118,8 @@ class Det3DDataset:
             name = inst.get('bbox_label_3d', inst.get('bbox_label'))
             if isinstance(name, str):
                 labels.append(self.label_mapping.get(name, -1))
+            elif self.label_remap is not None:
+                labels.append(self.label_remap.get(int(name), -1))
             else:
                 labels.append(int(name))
         return dict(gt_bboxes_3d=np.stack(boxes).astype(np.float32),
@@ -103,10 +132,41 @@ class Det3DDataset:
         if 'lidar_points' in info:
             lp = dict(info['lidar_points'])
             p = lp.get('lidar_path', '')
-            if self.data_root and p and not os.path.isabs(p):
-                lp['lidar_path'] = os.path.join(self.data_root, p)
+            if p and not os.path.isabs(p):
+                lp['lidar_path'] = os.path.join(
+                    self.data_root, self.data_prefix.get('pts', ''), p)
             out['lidar_points'] = lp
             out['lidar_path'] = lp.get('lidar_path')
+            # v2 sweeps store a path whose directory must be re-rooted
+            # under data_prefix (ref det3d_dataset.py:285-295: basename +
+            # pts-prefix if 'samples' in path else sweeps-prefix).
+            if 'lidar_sweeps' in info and (self.data_prefix.get('sweeps')
+                                           or self.data_prefix.get('pts')):
+                sweeps = []
+                for sw in info['lidar_sweeps']:
+                    sw = dict(sw)
+                    swlp = dict(sw.get('lidar_points', {}))
+                    sp = swlp.get('lidar_path', '')
+                    if sp and not os.path.isabs(sp):
+                        pref = self.data_prefix['pts'] if 'samples' in sp \
+                            else self.data_prefix.get('sweeps', '')
+                        swlp['lidar_path'] = os.path.join(
+                            self.data_root, pref, os.path.basename(sp))
+                    sw['lidar_points'] = swlp
+                    sweeps.append(sw)
+                out['lidar_sweeps'] = sweeps
+        if self.modality.get('use_camera') and 'images' in info:
+            imgs = {}
+            for cam_id, ci in info['images'].items():
+                ci = dict(ci) if isinstance(ci, dict) else ci
+                if isinstance(ci, dict) and ci.get('img_path') \
+                        and not os.path.isabs(ci['img_path']):
+                    pref = self.data_prefix.get(
+                        cam_id, self.data_prefix.get('img', ''))
+                    ci['img_path'] = os.path.join(
+                        self.data_root, pref, ci['img_path'])
+                imgs[cam_id] = ci
+            out['images'] = imgs
         if not self.test_mode:
             out['ann_info'] = self.parse_ann_info(info)
         out['box_type_3d'] = 'LiDAR'

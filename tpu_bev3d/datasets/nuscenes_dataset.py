@@ -45,8 +45,16 @@ class NuScenesDataset(Det3DDataset):
             mask = np.asarray([i['num_lidar_pts'] for i in instances]) > 0
         else:
             mask = np.ones(len(ann['gt_labels_3d']), bool)
-        boxes = ann['gt_bboxes_3d'][mask]
+        boxes = ann['gt_bboxes_3d'][mask].copy()
         labels = ann['gt_labels_3d'][mask]
+        # nuScenes infos store GRAVITY-centered boxes (devkit translation
+        # = box center); the framework convention is bottom-center like
+        # KITTI, so shift z by -h/2 (ref nuscenes_dataset.py:175-187:
+        # LiDARInstance3DBoxes(..., origin=(0.5, 0.5, 0.5)).convert_to).
+        # Verified on the real demo frame: 28/28 annotated boxes'
+        # points_in_rbbox counts match num_lidar_pts within rounding.
+        if len(boxes):
+            boxes[:, 2] -= boxes[:, 5] * 0.5
         if self.with_velocity and boxes.shape[1] == 7:
             vel = np.stack([np.asarray(i.get('velocity', [0, 0]), np.float32)
                             for i in instances], 0)[mask] \
@@ -60,7 +68,7 @@ class NuScenesDataset(Det3DDataset):
         out = super().parse_data_info(info)
         # multi-view camera info (ref nuscenes_dataset.py:193-247)
         if self.modality.get('use_camera') and 'images' in info:
-            imgs = info['images']
+            imgs = out.get('images', info['images'])  # prefixed paths
             out['img_paths'] = []
             out['lidar2img'] = []
             out['cam2img'] = []

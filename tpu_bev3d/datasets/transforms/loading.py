@@ -132,18 +132,30 @@ class LoadPointsFromMultiSweeps:
                 if self.remove_close:
                     p = self._remove_close(p)
                 # transform into keyframe frame
-                mat = np.asarray(
-                    lp.get('lidar2sensor',
-                           sw.get('sensor2lidar', np.eye(4))), np.float32)
                 if 'sensor2lidar_rotation' in sw:
+                    # our converter's schema (tools/nuscenes_converter.py)
                     R = np.asarray(sw['sensor2lidar_rotation'], np.float32)
                     t = np.asarray(sw['sensor2lidar_translation'],
                                    np.float32)
                     p[:, :3] = p[:, :3] @ R.T + t
+                elif 'lidar2sensor' in lp or 'lidar2cam' in lp:
+                    # reference v2 sweep schema — exact ref math
+                    # (loading.py:442-445: p @ R then -= t; old fixtures
+                    # name the matrix lidar2cam)
+                    m = np.asarray(
+                        lp.get('lidar2sensor', lp.get('lidar2cam')),
+                        np.float32)
+                    p[:, :3] = p[:, :3] @ m[:3, :3]
+                    p[:, :3] = p[:, :3] - m[:3, 3]
                 else:
+                    mat = np.asarray(sw.get('sensor2lidar', np.eye(4)),
+                                     np.float32)
                     p[:, :3] = p[:, :3] @ mat[:3, :3].T + mat[:3, 3]
-                dt = ts - sw.get('timestamp', ts)
-                dtc = np.full((len(p), 1), float(dt) * 1e-6, np.float32)
+                dt = float(ts - sw.get('timestamp', ts))
+                # ref v2 pkls store seconds (loading.py:440-441 "divided
+                # 1e6 in pkl infos"); ours store raw devkit µs
+                dt = dt * 1e-6 if abs(dt) > 100 else dt
+                dtc = np.full((len(p), 1), dt, np.float32)
                 out.append(np.concatenate(
                     [p[:, :pts.shape[1] - 1], dtc], -1))
         allpts = np.concatenate(out, 0)
