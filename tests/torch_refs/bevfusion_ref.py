@@ -379,6 +379,183 @@ class TransFusionHeadRef(nn.Module):
         res = self.prediction_heads[0](q.transpose(1, 2))
         res = {k2: v.transpose(1, 2) for k2, v in res.items()}
         res['center'] = res['center'] + q_pos
+        res['query_heatmap_score'] = torch.gather(
+            hm.permute(0, 2, 3, 1).reshape(B, H * W, -1), 1,
+            pix.unsqueeze(-1).expand(-1, -1, self.num_classes))
         res['dense_heatmap'] = heatmap
         res['query_labels'] = top_cls
         return res
+
+
+# --------------------------------------------------------------------------
+# Sparse encoder (dense-conv3d emulation) + full-model composition
+# --------------------------------------------------------------------------
+
+class _SpConvW(nn.Module):
+    """Holds one spconv-v2-layout weight [O, kz, ky, kx, I] (the layout
+    mmdet3d's write_spconv2.py shim produces in checkpoints)."""
+
+    def __init__(self, cin, cout, k=(3, 3, 3)):
+        super().__init__()
+        kz, ky, kx = k
+        self.weight = nn.Parameter(
+            torch.randn(cout, kz, ky, kx, cin) * (cin * kz * ky * kx) ** -0.5)
+
+
+def _spblock(cin, cout, k=(3, 3, 3)):
+    """state-dict names 0.weight (spconv layout) / 1.* (BN) like
+    make_sparse_convmodule's SparseSequential(conv, BN1d, ReLU)."""
+    m = nn.Module()
+    m.add_module('0', _SpConvW(cin, cout, k))
+    m.add_module('1', nn.BatchNorm3d(cout, eps=1e-3, momentum=0.01))
+    return m
+
+
+class SparseEncoderRef(nn.Module):
+    """Dense-conv3d emulation of our TPU SparseEncoder semantics
+    (tpu_bev3d/ops/sparse_conv.py): SubM conv == dense conv3d at the
+    active sites (inactive neighbors are zero either way); strided conv
+    == dense strided conv3d masked to the floor-rule active set
+    unique(floor((c + pad - center)/stride)). Exact value parity with the
+    gather-GEMM path given the same active sets. State-dict layout =
+    mmdet3d SparseEncoder (conv_input / encoder_layers.encoder_layerN.j /
+    conv_out)."""
+
+    def __init__(self, in_channels, sparse_shape, base_channels=16,
+                 output_channels=128,
+                 encoder_channels=((16, 16, 32), (32, 32, 64),
+                                   (64, 64, 128), (128, 128)),
+                 encoder_paddings=((0, 0, 1), (0, 0, 1), (0, 0, (0, 1, 1)),
+                                   (0, 0)),
+                 conv_out_kernel=(3, 1, 1), conv_out_stride=(2, 1, 1)):
+        super().__init__()
+        self.sparse_shape = tuple(sparse_shape)
+        self.encoder_channels = encoder_channels
+        self.encoder_paddings = encoder_paddings
+        self.conv_out_kernel = tuple(conv_out_kernel)
+        self.conv_out_stride = tuple(conv_out_stride)
+        self.conv_input = _spblock(in_channels, base_channels)
+        self.encoder_layers = nn.Module()
+        ci = base_channels
+        for i, stage in enumerate(encoder_channels):
+            layer = nn.Module()
+            for j, ch in enumerate(stage):
+                layer.add_module(str(j), _spblock(ci, ch))
+                ci = ch
+            self.encoder_layers.add_module(f'encoder_layer{i + 1}', layer)
+        self.conv_out = _spblock(ci, output_channels, self.conv_out_kernel)
+
+    @staticmethod
+    def _dense_w(block):
+        # [O, kz, ky, kx, I] -> conv3d [O, I, kz, ky, kx]
+        return getattr(block, '0').weight.permute(0, 4, 1, 2, 3)
+
+    @staticmethod
+    def _bn_relu_mask(block, y, mask):
+        y = getattr(block, '1')(y)
+        return F.relu(y) * mask
+
+    def _subm(self, block, x, mask):
+        w = self._dense_w(block)
+        k = w.shape[2:]
+        pad = tuple((kk - 1) // 2 for kk in k)
+        y = F.conv3d(x, w, padding=pad)
+        return self._bn_relu_mask(block, y, mask), mask
+
+    def _strided(self, block, x, mask, stride, padding):
+        w = self._dense_w(block)
+        k = np.asarray(w.shape[2:])
+        strd = np.broadcast_to(np.asarray(stride), (3,))
+        pad = np.broadcast_to(np.asarray(padding), (3,))
+        y = F.conv3d(x, w, stride=tuple(int(s) for s in strd),
+                     padding=tuple(int(p) for p in pad))
+        # floor-rule active set from the current mask
+        center = (k - 1) // 2
+        idx = mask[:, 0].nonzero()                       # [M, 4] b,z,y,x
+        cand = idx.clone()
+        shift = torch.tensor(pad - center, device=idx.device)
+        sj = torch.tensor(strd.copy(), device=idx.device)
+        cand[:, 1:] = torch.div(idx[:, 1:] + shift, sj,
+                                rounding_mode='floor')
+        out_sp = torch.tensor(y.shape[2:], device=idx.device)
+        ok = ((cand[:, 1:] >= 0) & (cand[:, 1:] < out_sp)).all(1)
+        cand = cand[ok]
+        new_mask = torch.zeros((x.shape[0], 1) + tuple(y.shape[2:]),
+                               dtype=x.dtype, device=x.device)
+        new_mask[cand[:, 0], 0, cand[:, 1], cand[:, 2], cand[:, 3]] = 1
+        return self._bn_relu_mask(block, y, new_mask), new_mask
+
+    def forward(self, voxel_feats, coords, batch_size):
+        """voxel_feats [V, C] float tensor; coords [V, 4] int (b,z,y,x;
+        b=-1 invalid) -> BEV [B, C*D, x, y] (xy-order NCHW, BEVFusion)."""
+        nz, ny, nx = self.sparse_shape
+        C = voxel_feats.shape[1]
+        x = torch.zeros(batch_size, C, nz, ny, nx)
+        mask = torch.zeros(batch_size, 1, nz, ny, nx)
+        v = coords[:, 0] >= 0
+        c = coords[v].long()
+        x[c[:, 0], :, c[:, 1], c[:, 2], c[:, 3]] = voxel_feats[v]
+        mask[c[:, 0], 0, c[:, 1], c[:, 2], c[:, 3]] = 1
+        x, mask = self._subm(self.conv_input, x, mask)
+        n_stages = len(self.encoder_channels)
+        for i, stage in enumerate(self.encoder_channels):
+            layer = getattr(self.encoder_layers, f'encoder_layer{i + 1}')
+            for j in range(len(stage)):
+                block = getattr(layer, str(j))
+                if j == len(stage) - 1 and i != n_stages - 1:
+                    x, mask = self._strided(block, x, mask, 2,
+                                            self.encoder_paddings[i][j])
+                else:
+                    x, mask = self._subm(block, x, mask)
+        x, mask = self._strided(self.conv_out, x, mask,
+                                self.conv_out_stride, 0)
+        B, C2, D, H, W = x.shape
+        out = x.reshape(B, C2 * D, H, W)          # H=y, W=x
+        return out.transpose(2, 3)                 # xy-order [B, C*D, x, y]
+
+
+class BEVFusionE2ERef(nn.Module):
+    """The ENTIRE BEVFusion L+C predict chain in torch with the
+    reference's state-dict layout — composed from the per-block refs that
+    each have their own forward-parity test. Attribute names equal the
+    bevfusion_mapping prefixes so one state_dict converts the whole
+    model. Ref forward: projects/BEVFusion/bevfusion/bevfusion.py:294-381.
+    """
+
+    def __init__(self, swin_kw, fpn_kw, lss_kw, middle_kw, fuser_in,
+                 fuser_out, second_kw, secfpn_kw, head_kw):
+        super().__init__()
+        from tests.torch_refs.swin_ref import SwinRef
+        self.img_backbone = SwinRef(**swin_kw)
+        self.img_neck = GeneralizedLSSFPNRef(**fpn_kw)
+        self.view_transform = DepthLSSRef(**lss_kw)
+        self.pts_middle_encoder = SparseEncoderRef(**middle_kw)
+        self.fuser = ConvFuserRef(fuser_in, fuser_out)
+        self.pts_backbone = SECONDRef(**second_kw)
+        self.pts_neck = SECONDFPNRef(**secfpn_kw)
+        self.bbox_head = TransFusionHeadRef(**head_kw)
+
+    def forward(self, imgs, depth_map, cam2lidar, intrins, post_rots,
+                post_trans, voxel_feats, voxel_coords, batch_size):
+        """imgs [B,N,H,W,3] normalized; depth_map [B,N,1,H,W] (sparse
+        depth from the shared deterministic projection); voxel tables
+        from the shared hard_voxelize."""
+        B, N, H, W, _ = imgs.shape
+        x = imgs.reshape(B * N, H, W, 3).permute(0, 3, 1, 2)
+        feats = self.img_backbone(x)               # NHWC list
+        feats = [f.permute(0, 3, 1, 2) for f in feats]
+        feats = self.img_neck(feats)
+        f = feats[0]                               # [BN, C, fh, fw]
+        C, fh, fw = f.shape[1:]
+        f = f.reshape(B, N, C, fh, fw)
+        bev_img, depth_logits = self.view_transform(
+            f, depth_map, cam2lidar, intrins, post_rots, post_trans)
+        bev_pts = self.pts_middle_encoder(voxel_feats, voxel_coords,
+                                          batch_size)
+        fused = self.fuser([bev_img, bev_pts])
+        outs = self.pts_backbone(fused)
+        x2 = self.pts_neck(outs)
+        res = self.bbox_head(x2)
+        inter = dict(bev_img=bev_img, bev_pts=bev_pts, fused=fused,
+                     neck=x2)
+        return res, inter
