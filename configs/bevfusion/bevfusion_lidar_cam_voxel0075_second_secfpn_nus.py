@@ -10,7 +10,11 @@ model = dict(
         depths=[2, 2, 6, 2],
         num_heads=[3, 6, 12, 24],
         window_size=7,
-        out_indices=[1, 2, 3]),
+        out_indices=[1, 2, 3],
+        # ref config :24-26 — Swin-T training recipe
+        drop_path_rate=0.2,
+        drop_rate=0.0,
+        attn_drop_rate=0.0),
     img_neck=dict(
         type='GeneralizedLSSFPN',
         in_channels=[192, 384, 768],

@@ -21,21 +21,31 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
-def make_train_step(model, tx, donate: bool = True) -> Callable:
-    """Returns step(state, batch) -> (state, metrics)."""
+def make_train_step(model, tx, donate: bool = True,
+                    dropout_seed: int = 0) -> Callable:
+    """Returns step(state, batch) -> (state, metrics).
 
-    def loss_fn(params, batch_stats, batch):
+    A per-step 'dropout' rng (folded from the step counter) feeds
+    stochastic-depth / dropout layers (e.g. Swin drop_path); models
+    without dropout ignore it.
+    """
+
+    def loss_fn(params, batch_stats, batch, rng):
         variables = {'params': params, 'batch_stats': batch_stats}
         losses, new_vars = model.apply(variables, batch, mode='loss',
-                                       train=True, mutable=['batch_stats'])
+                                       train=True, mutable=['batch_stats'],
+                                       rngs={'dropout': rng})
         total = jnp.asarray(0.0)
         for v in losses.values():
             total = total + v
         return total, (losses, new_vars.get('batch_stats', batch_stats))
 
     def step(state, batch):
+        rng = jax.random.fold_in(jax.random.PRNGKey(dropout_seed),
+                                 state.step)
         (total, (losses, new_bs)), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(state.params, state.batch_stats, batch)
+            loss_fn, has_aux=True)(state.params, state.batch_stats, batch,
+                                   rng)
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
         new_params = jax.tree_util.tree_map(
             lambda p, u: p + u, state.params, updates)

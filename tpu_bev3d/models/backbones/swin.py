@@ -43,13 +43,36 @@ def _rel_pos_index(w):
     return (rel[..., 0] * (2 * w - 1) + rel[..., 1]).astype(np.int32)
 
 
+def drop_path(x, rate: float, train: bool, mod: nn.Module):
+    """Stochastic depth on the residual branch (mmcv DropPath): whole
+    samples are dropped with prob `rate`, survivors rescaled by 1/keep.
+    No-op without a 'dropout' rng (ad-hoc applies; make_train_step always
+    supplies one)."""
+    if not train or rate <= 0.0 or not mod.has_rng('dropout'):
+        return x
+    keep = 1.0 - rate
+    rng = mod.make_rng('dropout')
+    mask = jax.random.bernoulli(rng, keep,
+                                (x.shape[0],) + (1,) * (x.ndim - 1))
+    return jnp.where(mask, x / keep, 0.0).astype(x.dtype)
+
+
+def _maybe_dropout(mod: nn.Module, x, rate: float, train: bool):
+    if rate <= 0.0:
+        return x
+    det = not (train and mod.has_rng('dropout'))
+    return nn.Dropout(rate)(x, deterministic=det)
+
+
 class WindowAttention(nn.Module):
     dim: int
     num_heads: int
     window_size: int
+    attn_drop: float = 0.0
+    proj_drop: float = 0.0
 
     @nn.compact
-    def __call__(self, x, attn_mask=None):
+    def __call__(self, x, attn_mask=None, train: bool = False):
         """x [nB, N, C] with N = window²; attn_mask [nW, N, N] or None."""
         nB, N, C = x.shape
         h = self.num_heads
@@ -72,8 +95,10 @@ class WindowAttention(nn.Module):
                 + attn_mask[None, :, None].astype(attn.dtype)
             attn = attn.reshape(nB, h, N, N)
         attn = jax.nn.softmax(attn, axis=-1)
+        attn = _maybe_dropout(self, attn, self.attn_drop, train)
         out = (attn @ v).transpose(0, 2, 1, 3).reshape(nB, N, C)
-        return nn.Dense(C, dtype=x.dtype, name='proj')(out)
+        out = nn.Dense(C, dtype=x.dtype, name='proj')(out)
+        return _maybe_dropout(self, out, self.proj_drop, train)
 
 
 class SwinBlock(nn.Module):
@@ -90,6 +115,12 @@ class SwinBlock(nn.Module):
     window_size: int = 7
     shift: int = 0
     mlp_ratio: float = 4.0
+    # regularization (ref config drop_path_rate=0.2 linearly ramped across
+    # blocks; drop_rate / attn_drop_rate knobs — bevfusion_lidar-cam
+    # config :24-26). All inert at 0 / eval → checkpoint parity unchanged.
+    drop_path_rate: float = 0.0
+    drop_rate: float = 0.0
+    attn_drop_rate: float = 0.0
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -122,17 +153,22 @@ class SwinBlock(nn.Module):
         else:
             attn_mask = None
         xw = window_partition(x, w).reshape(-1, w * w, C)
-        xw = WindowAttention(self.dim, self.num_heads, w)(xw, attn_mask)
+        xw = WindowAttention(self.dim, self.num_heads, w,
+                             attn_drop=self.attn_drop_rate,
+                             proj_drop=self.drop_rate)(
+                                 xw, attn_mask, train=train)
         x = window_reverse(xw.reshape(-1, w, w, C), w, B, Hp, Wp)
         if shift > 0:
             x = jnp.roll(x, (shift, shift), axis=(1, 2))
         x = x[:, :H, :W]
-        x = shortcut + x
+        x = shortcut + drop_path(x, self.drop_path_rate, train, self)
         y = nn.LayerNorm(epsilon=1e-5, dtype=x.dtype)(x)
         y = nn.Dense(int(C * self.mlp_ratio), dtype=x.dtype)(y)
         y = nn.gelu(y, approximate=False)
+        y = _maybe_dropout(self, y, self.drop_rate, train)
         y = nn.Dense(C, dtype=x.dtype)(y)
-        return x + y
+        y = _maybe_dropout(self, y, self.drop_rate, train)
+        return x + drop_path(y, self.drop_path_rate, train, self)
 
 
 class PatchMerging(nn.Module):
@@ -166,6 +202,12 @@ class SwinTransformer(nn.Module):
     patch_size: int = 4
     mlp_ratio: float = 4.0
     out_indices: Sequence[int] = (1, 2, 3)
+    # ref bevfusion_lidar-cam config :24-26 (Swin-T recipe: 0.2 stochastic
+    # depth, no plain dropout). Ramped linearly 0 → drop_path_rate across
+    # all blocks like mmdet's dpr = linspace(0, drop_path_rate, sum(depths)).
+    drop_path_rate: float = 0.0
+    drop_rate: float = 0.0
+    attn_drop_rate: float = 0.0
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -174,15 +216,23 @@ class SwinTransformer(nn.Module):
         x = nn.Conv(self.embed_dims, (p, p), strides=(p, p), padding='VALID',
                     dtype=x.dtype, name='patch_embed')(x)
         x = nn.LayerNorm(epsilon=1e-5, dtype=x.dtype, name='patch_norm')(x)
+        x = _maybe_dropout(self, x, self.drop_rate, train)
         outs = []
         dim = self.embed_dims
+        total = sum(self.depths)
+        dpr = np.linspace(0, self.drop_path_rate, total)
+        bi = 0
         for i, depth in enumerate(self.depths):
             w = self.window_size
             for d in range(depth):
                 shift = 0 if d % 2 == 0 else w // 2
                 x = SwinBlock(dim, self.num_heads[i], w, shift,
                               self.mlp_ratio,
+                              drop_path_rate=float(dpr[bi]),
+                              drop_rate=self.drop_rate,
+                              attn_drop_rate=self.attn_drop_rate,
                               name=f'stage{i}_block{d}')(x, train)
+                bi += 1
             if i in self.out_indices:
                 outs.append(nn.LayerNorm(epsilon=1e-5, dtype=x.dtype,
                                          name=f'out_norm{i}')(x))

@@ -98,7 +98,25 @@ def hard_voxelize(points, points_mask, *, voxel_size, pc_range,
         jnp.maximum, jnp.where(new_seg, iota, -1))
     rank = iota - seg_start
 
-    keep = valid_s & (rank < max_points) & (voxel_idx < max_voxels)
+    # Survivor selection under voxel-capacity overflow: the reference CUDA
+    # kernel allocates voxels in point-ARRIVAL order (the first point that
+    # touches a new voxel claims the next slot; once full, new voxels are
+    # rejected — voxelization_cuda.cu:105-180, randomized upstream by
+    # PointShuffle). Keeping the smallest-linear-id voxels instead would
+    # systematically drop high-z/high-y regions on overflowing real clouds
+    # (~250-300k-point nuScenes sweeps vs max_voxels=120k). Rank each
+    # segment by its first point's ORIGINAL index and keep the earliest
+    # max_voxels. Stable sort ⇒ each segment's head row carries the
+    # segment's smallest original index.
+    arrival = jnp.full((P + 1,), P, jnp.int32).at[
+        jnp.where(new_seg, voxel_idx, P)].set(
+            order.astype(jnp.int32), mode='drop')
+    arr_rank = jnp.argsort(jnp.argsort(arrival[:P]))       # rank by arrival
+    survive_s = (arr_rank[jnp.clip(voxel_idx, 0, P - 1)]
+                 < max_voxels) & valid_s
+    new_seg = new_seg & survive_s
+    voxel_idx = jnp.cumsum(new_seg.astype(jnp.int32)) - 1  # compact slots
+    keep = survive_s & (rank < max_points)
     vi = jnp.where(keep, voxel_idx, max_voxels)  # OOB → dropped
     ri = jnp.where(keep, rank, 0)
 
