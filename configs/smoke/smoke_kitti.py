@@ -26,3 +26,25 @@ train_cfg = dict(
 )
 
 data_root = 'data/kitti/'
+# ---- data (ref config train/test pipelines:
+# configs/smoke/smoke_dla34_dlaneck_gn-all_4xb8-6x_kitti-mono3d.py:8-32) ----
+train_pipeline = [
+    dict(type='LoadImageFromFileMono3D'),
+    dict(type='RandomShiftScale', shift_scale=(0.2, 0.4), aug_prob=0.3),
+    dict(type='AffineResize', img_scale=(1280, 384), down_ratio=4),
+    dict(type='Pack3DDetInputs', max_gt=32),
+]
+test_pipeline = [
+    dict(type='LoadImageFromFileMono3D'),
+    dict(type='AffineResize', img_scale=(1280, 384), down_ratio=4),
+    dict(type='Pack3DDetInputs', max_gt=32),
+]
+train_dataloader = dict(dataset=dict(
+    type='KittiDataset', data_root=data_root,
+    modality=dict(use_lidar=False, use_camera=True),
+    ann_file='kitti_infos_train.pkl', pipeline=train_pipeline))
+test_dataloader = dict(dataset=dict(
+    type='KittiDataset', data_root=data_root,
+    modality=dict(use_lidar=False, use_camera=True),
+    ann_file='kitti_infos_val.pkl', pipeline=test_pipeline,
+    test_mode=True))

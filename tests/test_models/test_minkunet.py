@@ -19,7 +19,9 @@ def test_minkunet_seg():
             in_channels=4,
             base_channels=8,
             encoder_channels=[8, 16, 32, 32],
-            decoder_channels=[16, 16, 16]))
+            encoder_blocks=[1, 1, 1, 1],
+            decoder_channels=[32, 16, 16, 16],
+            decoder_blocks=[1, 1, 1, 1]))
     model = build_detector_from_cfg(cfg)
     rng = np.random.default_rng(0)
     B, P = 2, 256
@@ -61,7 +63,9 @@ def test_cylinder3d_seg():
             in_channels=4,
             base_channels=8,
             encoder_channels=[8, 16, 16],
-            decoder_channels=[8, 8]))
+            encoder_blocks=[1, 1, 1],
+            decoder_channels=[16, 8, 8],
+            decoder_blocks=[1, 1, 1]))
     model = build_detector_from_cfg(cfg)
     rng = np.random.default_rng(0)
     B, P = 1, 256
@@ -76,3 +80,62 @@ def test_cylinder3d_seg():
     assert np.isfinite(float(losses['loss_sem_seg']))
     preds = model.apply(variables, batch, mode='predict')
     assert preds['pts_semantic_mask'].shape == (B, P)
+
+
+def test_minkunet_overfits_fixed_batch():
+    """Seg overfit (VERDICT r1 item 8): the residual inverse-conv UNet
+    must fit a fixed labeled cloud — loss drops sharply and train-set
+    accuracy goes high."""
+    import optax
+    cfg = dict(
+        type='MinkUNet', num_classes=4,
+        voxel_size=[0.5, 0.5, 0.5],
+        point_cloud_range=[-8, -8, -4, 8, 8, 4],
+        max_voxels=512,
+        backbone=dict(type='MinkUNetBackbone', in_channels=4,
+                      base_channels=8,
+                      encoder_channels=[8, 16, 16],
+                      encoder_blocks=[1, 1, 1],
+                      decoder_channels=[16, 8, 8],
+                      decoder_blocks=[1, 1, 1]))
+    model = build_detector_from_cfg(cfg)
+    rng = np.random.default_rng(0)
+    B, P = 1, 400
+    pts = rng.uniform([-8, -8, -4, 0], [8, 8, 4, 1],
+                      (B, P, 4)).astype(np.float32)
+    # labels correlated with space (learnable): quadrant id
+    labels = ((pts[..., 0] > 0).astype(np.int32) * 2
+              + (pts[..., 1] > 0).astype(np.int32))
+    batch = dict(points=jnp.asarray(pts),
+                 points_mask=jnp.ones((B, P), bool),
+                 pts_semantic_mask=jnp.asarray(labels))
+    variables = model.init(jax.random.PRNGKey(0), batch, mode='tensor')
+    tx = optax.adam(5e-3)
+    params = variables['params']
+    bs = variables['batch_stats']
+    opt = tx.init(params)
+
+    @jax.jit
+    def step(params, bs, opt):
+        def lf(p):
+            losses, nv = model.apply(
+                {'params': p, 'batch_stats': bs}, batch, mode='loss',
+                train=True, mutable=['batch_stats'])
+            return losses['loss_sem_seg'], nv['batch_stats']
+        (l, nbs), g = jax.value_and_grad(lf, has_aux=True)(params)
+        u, opt = tx.update(g, opt)
+        return optax.apply_updates(params, u), nbs, opt, l
+
+    losses = []
+    for _ in range(60):
+        params, bs, opt, l = step(params, bs, opt)
+        losses.append(float(l))
+    assert losses[-1] < 0.4 * losses[0], (losses[0], losses[-1])
+    # train-mode predict (batch BN stats): running averages need many
+    # more steps than an overfit test to converge
+    preds, _ = model.apply({'params': params, 'batch_stats': bs}, batch,
+                           mode='predict', train=True,
+                           mutable=['batch_stats'])
+    m = np.asarray(preds['mask'])
+    acc = (np.asarray(preds['pts_semantic_mask']) == labels)[m].mean()
+    assert acc > 0.8, acc

@@ -88,7 +88,8 @@ def test_spvcnn_backbone():
     pv = np.ones(P, bool)
     m = MODELS.build(dict(type='SPVCNNBackbone', in_channels=4,
                           base_channels=8, encoder_channels=[8, 16],
-                          decoder_channels=[16], point_channels=[16]))
+                          decoder_channels=[16, 16],
+                          point_channels=[16]))
     v = m.init(jax.random.PRNGKey(0), st, jnp.asarray(pc),
                jnp.asarray(pf), jnp.asarray(pv))
     (st_out, pfeat), _ = m.apply(v, st, jnp.asarray(pc),
@@ -263,3 +264,41 @@ def test_mono_coders_match_heads():
     b2, s2 = fc.decode_level(outf, 8, cam2img)
     np.testing.assert_array_equal(np.asarray(b1), np.asarray(b2))
     np.testing.assert_array_equal(np.asarray(s1), np.asarray(s2))
+
+
+def test_yolox2d_detector_nuimages_family():
+    """The nuimages-family 2D detector (configs/nuimages): backbone →
+    FPN → YOLOXHead2D; loss finite with SimOTA targets, predict returns
+    top-k 2D boxes."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from tpu_bev3d.registry import MODELS
+
+    m = MODELS.build(dict(
+        type='YOLOX2DDetector',
+        backbone=dict(type='SwinTransformer', embed_dims=16,
+                      depths=[2, 2], num_heads=[2, 2], window_size=4,
+                      out_indices=[0, 1]),
+        neck=dict(type='FPN', in_channels=[16, 32], out_channels=16,
+                  num_outs=2),
+        bbox_head=dict(type='YOLOXHead2D', num_classes=10, in_channels=16,
+                       feat_channels=16, stacked_convs=1,
+                       strides=[4, 8]),
+        num_pred=16))
+    rng = np.random.default_rng(0)
+    B, G = 2, 4
+    imgs = jnp.asarray(rng.normal(0, 1, (B, 64, 96, 3)).astype(np.float32))
+    x0 = rng.uniform(0, 60, (B, G)); y0 = rng.uniform(0, 40, (B, G))
+    gtb = jnp.asarray(np.stack([x0, y0, x0 + 16, y0 + 12], -1)
+                      .astype(np.float32))
+    batch = dict(imgs=imgs, gt_bboxes_2d=gtb,
+                 gt_labels_2d=jnp.asarray(rng.integers(0, 10, (B, G))),
+                 gt_mask_2d=jnp.ones((B, G), bool))
+    v = m.init(jax.random.PRNGKey(0), batch, mode='tensor')
+    losses, _ = m.apply(v, batch, mode='loss', train=True,
+                        mutable=['batch_stats'])
+    assert all(np.isfinite(float(x)) for x in losses.values()), losses
+    preds = m.apply(v, batch, mode='predict')
+    assert preds['bboxes'].shape == (B, 16, 4)
+    assert np.isfinite(np.asarray(preds['bboxes'])).all()

@@ -43,7 +43,7 @@ model = dict(
     voxel_encoder=dict(voxel_size=[0.64, 0.64, 4]),
     middle_encoder=dict(output_shape=[128, 112]),
     bbox_head=dict(nms_pre=64, max_num=8))
-train_cfg = dict(max_epochs=1, batch_size=2,
+train_cfg = dict(max_epochs=1, batch_size=2, val_interval=1,
                  optimizer=dict(type='adamw', lr=1e-4),
                  scheduler=dict(type='const'), clip_grad_norm=35.0)
 _pipeline = [
@@ -56,6 +56,7 @@ _pipeline = [
 _ds = dict(type='KittiDataset', data_root='{mini_root}',
            ann_file='infos.pkl', pipeline=_pipeline)
 train_dataloader = dict(dataset=_ds)
+val_dataloader = dict(dataset=dict(**_ds, test_mode=False))
 test_dataloader = dict(dataset=dict(**_ds, test_mode=False))
 test_evaluator = dict(type='KittiMetric')
 num_workers = 0
@@ -70,6 +71,9 @@ log_interval = 1
     assert r.returncode == 0, r.stderr[-2000:]
     assert any(d.startswith('ckpt_') for d in os.listdir(wd)), \
         os.listdir(wd)
+    # in-training validation ran and kept a best checkpoint
+    assert '[val] epoch 0' in r.stdout, r.stdout[-2000:]
+    assert os.path.isdir(os.path.join(wd, 'best')), os.listdir(wd)
 
     r2 = subprocess.run(
         [sys.executable, os.path.join(REPO, 'tools', 'test.py'),

@@ -171,6 +171,9 @@ class Det3DDataset:
             out['ann_info'] = self.parse_ann_info(info)
         out['box_type_3d'] = 'LiDAR'
         out['metainfo'] = self.metainfo
+        # mix-style transforms (PolarMix/LaserMix) draw a second sample
+        # through this handle (ref Seg3DDataset passes `dataset` through)
+        out['dataset'] = self
         return out
 
     # ------------------------------------------------------------ sampling

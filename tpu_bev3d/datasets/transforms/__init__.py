@@ -1,9 +1,17 @@
 from .loading import (LoadPointsFromFile, LoadPointsFromMultiSweeps,
-                      LoadAnnotations3D, LoadPointsFromDict)
+                      LoadAnnotations3D, LoadPointsFromDict,
+                      LoadImageFromFileMono3D)
 from .transforms_3d import (GlobalRotScaleTrans, RandomFlip3D,
                             PointsRangeFilter, ObjectRangeFilter,
                             ObjectNameFilter, PointShuffle, PointSample,
                             ObjectSample)
+from .transforms_extra import (AffineResize, RandomShiftScale, Resize3D,
+                               RandomResize3D, RandomCrop3D,
+                               PhotoMetricDistortion3D, MultiViewWrapper,
+                               GlobalAlignment, RandomJitterPoints,
+                               RandomDropPointsColor, BackgroundPointsFilter,
+                               VoxelBasedPointSampler,
+                               IndoorPatchPointSample, PolarMix, LaserMix)
 from .formating import Pack3DDetInputs
 from .dbsampler import DataBaseSampler
 from .image_transforms import (BEVLoadMultiViewImageFromFiles, ImageAug3D,
@@ -15,5 +23,10 @@ __all__ = [
     'PointsRangeFilter', 'ObjectRangeFilter', 'ObjectNameFilter',
     'PointShuffle', 'PointSample', 'ObjectSample', 'Pack3DDetInputs',
     'DataBaseSampler', 'BEVLoadMultiViewImageFromFiles', 'ImageAug3D',
-    'GridMask',
+    'GridMask', 'AffineResize', 'RandomShiftScale', 'Resize3D',
+    'RandomResize3D', 'RandomCrop3D', 'PhotoMetricDistortion3D',
+    'MultiViewWrapper', 'GlobalAlignment', 'RandomJitterPoints',
+    'RandomDropPointsColor', 'BackgroundPointsFilter',
+    'VoxelBasedPointSampler', 'IndoorPatchPointSample', 'PolarMix',
+    'LaserMix', 'LoadImageFromFileMono3D',
 ]

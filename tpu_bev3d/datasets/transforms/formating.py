@@ -27,16 +27,17 @@ class Pack3DDetInputs:
         self.meta_keys = list(meta_keys)
 
     def __call__(self, results: dict) -> dict:
-        pts = np.asarray(results['points'], np.float32)
-        P = self.num_points
-        n = min(len(pts), P)
-        points = np.zeros((P, pts.shape[1]), np.float32)
-        points[:n] = pts[:n]
-        mask = np.zeros((P,), bool)
-        mask[:n] = True
-
-        out = dict(points=points, points_mask=mask)
-        if 'pts_semantic_mask' in results:
+        out = {}
+        if 'points' in results:  # absent in image-only mono pipelines
+            pts = np.asarray(results['points'], np.float32)
+            P = self.num_points
+            n = min(len(pts), P)
+            points = np.zeros((P, pts.shape[1]), np.float32)
+            points[:n] = pts[:n]
+            mask = np.zeros((P,), bool)
+            mask[:n] = True
+            out = dict(points=points, points_mask=mask)
+        if 'pts_semantic_mask' in results and 'points' in results:
             seg = np.full((P,), 255, np.int32)
             seg[:n] = np.asarray(results['pts_semantic_mask'],
                                  np.int32)[:n]
@@ -58,6 +59,26 @@ class Pack3DDetInputs:
             gmask[:g] = True
             out.update(gt_bboxes_3d=boxes, gt_labels_3d=labels,
                        gt_mask=gmask)
+        if 'img' in results and 'imgs' not in results:
+            # mono-3D pipeline: one camera image + camera-frame GT
+            # (ref Pack3DDetInputs keys=['img', 'gt_bboxes', ...,
+            # 'centers_2d', 'depths'] in the SMOKE/PGD recipes)
+            out['imgs'] = np.asarray(results['img'], np.float32)
+            for k in ('cam2img', 'trans_mat'):
+                if k in results:
+                    out[k] = np.asarray(results[k], np.float32)
+            G = self.max_gt
+            for k, d in (('gt_bboxes', 4), ('centers_2d', 2)):
+                if results.get(k) is not None:
+                    v = np.asarray(results[k], np.float32).reshape(-1, d)
+                    buf = np.zeros((G, d), np.float32)
+                    buf[:min(len(v), G)] = v[:G]
+                    out[k] = buf
+            if results.get('depths') is not None:
+                v = np.asarray(results['depths'], np.float32).ravel()
+                buf = np.zeros((G,), np.float32)
+                buf[:min(len(v), G)] = v[:G]
+                out['depths'] = buf
         if 'imgs' in results:
             out['imgs'] = np.asarray(results['imgs'], np.float32)
             for k in ('cam2lidar', 'intrins', 'post_rots', 'post_trans',

@@ -197,3 +197,47 @@ class LoadAnnotations3D:
                 results['pts_semantic_mask'] = np.zeros(
                     (len(results.get('points', [])),), np.int32)
         return results
+
+
+@TRANSFORMS.register_module()
+class LoadImageFromFileMono3D:
+    """Load the default camera's image + calibration for mono-3D
+    pipelines (ref mmdet3d loading.py LoadImageFromFileMono3D): sets
+    'img' (float32 HWC), 'cam2img', and pulls the camera-frame mono
+    annotations — either from ``cam_instances[default_cam_key]`` (v2
+    infos) or from ``instances`` rows carrying 2D keys (demo-style
+    pkls): gt_bboxes, gt_bboxes_labels, centers_2d, depths, and
+    CAMERA-frame gt_bboxes_3d / gt_labels_3d."""
+
+    def __init__(self, default_cam_key: str = 'CAM2', **kw):
+        self.default_cam_key = default_cam_key
+
+    def __call__(self, results: dict) -> dict:
+        from .image_transforms import _imread
+        cam = results['images'][self.default_cam_key]
+        results['img'] = _imread(cam['img_path']).astype(np.float32)
+        results['cam2img'] = np.asarray(cam['cam2img'], np.float32)
+        inst = (results.get('cam_instances') or {}).get(
+            self.default_cam_key)
+        if inst is None:
+            inst = [i for i in results.get('instances', [])
+                    if 'bbox' in i and i.get('bbox_label_3d', -1) > -1]
+        if inst:
+            results['gt_bboxes'] = np.asarray(
+                [i['bbox'] for i in inst], np.float32)
+            results['gt_bboxes_labels'] = np.asarray(
+                [i.get('bbox_label', i.get('bbox_label_3d', 0))
+                 for i in inst], np.int64)
+            results['gt_bboxes_3d'] = np.asarray(
+                [i['bbox_3d'] for i in inst], np.float32)
+            results['gt_labels_3d'] = np.asarray(
+                [i.get('bbox_label_3d', 0) for i in inst], np.int64)
+            if 'center_2d' in inst[0] or 'center2d' in inst[0]:
+                results['centers_2d'] = np.asarray(
+                    [i.get('center_2d', i.get('center2d'))[:2]
+                     for i in inst], np.float32)
+                results['depths'] = np.asarray(
+                    [i.get('depth', i.get('center_2d', [0, 0, 0])[-1]
+                           if len(i.get('center_2d', [])) > 2 else 0.0)
+                     for i in inst], np.float32)
+        return results

@@ -129,9 +129,70 @@ class Runner:
                 for h in hooks:
                     h.after_iter(self, step, metrics)
             self._maybe_val_sample(hooks)
+            self._maybe_validate(epoch)
             for h in hooks:
                 h.after_epoch(self, epoch)
         return self.state
+
+    # ---------------------------------------------------------- validation
+
+    def _maybe_validate(self, epoch: int):
+        """In-training validation (ref mmengine ValLoop driven by
+        train_cfg val_interval, SURVEY §3.1): every ``val_interval``
+        epochs run the metric over the val loader, log it, and keep a
+        ``best`` checkpoint when the tracked key improves."""
+        tcfg = self.cfg.get('train_cfg', {})
+        interval = int(tcfg.get('val_interval', 0) or 0)
+        vcfg = self.cfg.get('val_dataloader')
+        if interval <= 0 or not vcfg:
+            return
+        if (epoch + 1) % interval != 0:
+            return
+        out = self.validate()
+        key = self.cfg.get('val_key')
+        if key is None:
+            for cand in ('NDS', 'mAP', 'm3d_AP40', 'miou'):
+                if cand in out and np.isfinite(out[cand]):
+                    key = cand
+                    break
+            key = key or next((k for k, v in out.items()
+                               if np.isfinite(v)), None)
+        if key is None:
+            return
+        score = float(out[key])
+        self.val_history = getattr(self, 'val_history', [])
+        self.val_history.append((epoch, key, score))
+        best = getattr(self, 'best_val', None)
+        if best is None or score > best:
+            self.best_val = score
+            import orbax.checkpoint as ocp
+            ckptr = ocp.StandardCheckpointer()
+            ckptr.save(os.path.abspath(os.path.join(self.work_dir, 'best')),
+                       jax.device_get(self.state), force=True)
+            ckptr.wait_until_finished()
+            print(f'[val] epoch {epoch}: {key}={score:.4f} (new best)')
+        else:
+            print(f'[val] epoch {epoch}: {key}={score:.4f} '
+                  f'(best {self.best_val:.4f})')
+
+    def validate(self, state=None) -> Dict[str, float]:
+        """One metrics pass over the val loader with the CURRENT state."""
+        import jax.numpy as jnp
+        vcfg = self.cfg.get('val_dataloader') or self.cfg.test_dataloader
+        if not hasattr(self, '_val_loader'):
+            _, self._val_loader = self._build_loader(vcfg.dataset,
+                                                     shuffle=False)
+            self._val_eval_fn = make_eval_step(self.model)
+        metric = METRICS.build(dict(self.cfg.get(
+            'val_evaluator',
+            self.cfg.get('test_evaluator', {'type': 'NuScenesMetric'}))))
+        state = state or self.state
+        for host_batch in self._val_loader:
+            batch = {k: jnp.asarray(v) for k, v in host_batch.items()
+                     if k != 'metainfo'}
+            preds = self._val_eval_fn(state, batch)
+            metric.process(jax.device_get(preds), host_batch)
+        return metric.compute_metrics()
 
     def _maybe_val_sample(self, hooks):
         """Run predict on one val batch for Det3DVisualizationHook (the

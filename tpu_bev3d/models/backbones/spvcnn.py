@@ -50,7 +50,7 @@ class SPVCNNBackbone(nn.Module):
     in_channels: int = 4
     base_channels: int = 32
     encoder_channels: Sequence[int] = (32, 64, 128, 256)
-    decoder_channels: Sequence[int] = (128, 96, 96)
+    decoder_channels: Sequence[int] = (256, 128, 96, 96)
     point_channels: Sequence[int] = (96,)
 
     @nn.compact

@@ -17,4 +17,5 @@ from .imvoxelnet import ImVoxelNet
 from .mvxnet import MVXNet, PointFusion
 
 __all__ = ['VoxelNet', 'DynamicVoxelNet', 'CenterPoint', 'BEVFusion',
-           'ConvFuser', 'PETR', 'VoteNet', 'FCOSMono3D', 'StreamPETR', 'StreamPETRHead', 'TwoStage3DDetector', 'PartA2', 'PointRCNN', 'PVRCNN', 'H3DNet', 'ImVoteNet', 'VoteFusion', 'DfM', 'SASSD', 'ImVoxelNet', 'MVXNet', 'PointFusion']
+           'ConvFuser', 'PETR', 'VoteNet', 'FCOSMono3D', 'StreamPETR', 'StreamPETRHead', 'TwoStage3DDetector', 'PartA2', 'PointRCNN', 'PVRCNN', 'H3DNet', 'ImVoteNet', 'VoteFusion', 'DfM', 'SASSD', 'ImVoxelNet', 'MVXNet', 'PointFusion', 'YOLOX2DDetector']
+from .yolox2d import YOLOX2DDetector  # noqa: F401

@@ -4,11 +4,13 @@ Refs: mmdet3d/models/backbones/minkunet_backbone.py + segmentors/minkunet.py
 (MinkowskiEngine/spconv/torchsparse backends) and the data_preprocessor's
 'minkunet' voxelize mode (data_preprocessor.py:342-467).
 
-TPU design: encoder = strided sparse convs over the fixed-capacity voxel
-table; decoder = parent-gather upsampling (each fine voxel gathers its
-stride-parent's feature — the TPU-native replacement for sparse inverse
-conv) + SubM conv + skip concat. Per-point logits come from the
-point→voxel index map produced by dynamic voxelization.
+TPU design: encoder = k2-s2 strided sparse convs + residual SubM blocks
+over the fixed-capacity voxel table; decoder = TRUE inverse sparse convs
+back onto the recorded per-stage coordinate tables (ops/sparse_conv.py
+sparse_inverse_conv3d) + skip concat + residual blocks — the reference's
+residual 4-stage UNet topology, ending at full input resolution.
+Per-point logits come from the point→voxel index map produced by
+dynamic voxelization.
 """
 from __future__ import annotations
 
@@ -47,39 +49,112 @@ def _parent_lookup(fine: SparseTensor, coarse: SparseTensor, stride=2):
     return jnp.where(found, order[pos], N)
 
 
+class SparseBasicBlock(nn.Module):
+    """Residual SubM block (ref mmdet3d sparse_block.py SparseBasicBlock:
+    conv3-BN-ReLU-conv3-BN + identity (1×1 conv-BN when channels change)
+    → ReLU)."""
+    out_channels: int
+
+    @nn.compact
+    def __call__(self, st: SparseTensor, train: bool = False,
+                 rulebook=None) -> SparseTensor:
+        cin = st.features.shape[-1]
+        x = SparseConvLayer(self.out_channels, 3, subm=True,
+                            name='conv1')(st, train, rulebook=rulebook)
+        x = SparseConvLayer(self.out_channels, 3, subm=True, act=False,
+                            name='conv2')(x, train, rulebook=rulebook)
+        ident = st.features
+        if cin != self.out_channels:
+            from ..layers.common import MaskedBatchNorm
+            ident = nn.Dense(self.out_channels, use_bias=False,
+                             name='down')(ident)
+            ident = MaskedBatchNorm(name='down_bn')(ident, st.valid,
+                                                    train=train)
+        f = nn.relu(x.features + ident)
+        f = jnp.where(st.valid[:, None], f, 0.0)
+        return SparseTensor(f, st.coords, st.spatial_shape, st.batch_size)
+
+
+class SparseInverseConvLayer(nn.Module):
+    """Inverse conv onto a known coord table (+BN+ReLU) — the decoder
+    upsample of ref spconv SparseInverseConv3d."""
+    out_channels: int
+    kernel_size: int = 2
+    stride: int = 2
+
+    @nn.compact
+    def __call__(self, st: SparseTensor, target: SparseTensor,
+                 train: bool = False) -> SparseTensor:
+        from ...ops.sparse_conv import sparse_inverse_conv3d
+        from ..layers.common import MaskedBatchNorm
+        cin = st.features.shape[-1]
+        k = int(np.prod(np.broadcast_to(
+            np.asarray(self.kernel_size), (3,))))
+        w = self.param('kernel',
+                       nn.initializers.variance_scaling(1.0, 'fan_in',
+                                                        'uniform'),
+                       (k, cin, self.out_channels))
+        out = sparse_inverse_conv3d(
+            st, target.coords, target.valid, target.spatial_shape, w,
+            kernel_size=self.kernel_size, stride=self.stride, padding=0)
+        f = MaskedBatchNorm()(out.features, out.valid, train=train)
+        f = jnp.where(out.valid[:, None], nn.relu(f), 0.0)
+        return SparseTensor(f, out.coords, out.spatial_shape,
+                            out.batch_size)
+
+
 @MODELS.register_module()
 class MinkUNetBackbone(nn.Module):
-    """4-stage sparse UNet (ref minkunet_backbone.py channel plan)."""
+    """4-stage residual sparse UNet (ref minkunet_backbone.py:120-240):
+    2×SubM stem; per encoder stage a k2-s2 strided conv + residual
+    blocks; per decoder stage an inverse conv back onto the lateral's
+    coord table, skip concat, + residual blocks. Output at FULL input
+    resolution (same coord table as the input — required by the
+    segmentor's point→voxel gather)."""
     in_channels: int = 4
     base_channels: int = 32
     encoder_channels: Sequence[int] = (32, 64, 128, 256)
-    decoder_channels: Sequence[int] = (128, 96, 96)
+    encoder_blocks: Sequence[int] = (2, 2, 2, 2)
+    decoder_channels: Sequence[int] = (256, 128, 96, 96)
+    decoder_blocks: Sequence[int] = (2, 2, 2, 2)
 
     @nn.compact
     def __call__(self, st: SparseTensor, train: bool = False):
+        from ...ops.sparse_conv import build_subm_rulebook
+        assert len(self.decoder_channels) == len(self.encoder_channels), \
+            'ref minkunet_backbone.py:76 requires num_stages == ' \
+            'len(encoder_channels) == len(decoder_channels)'
+        rb = build_subm_rulebook(st, 3)
         st = SparseConvLayer(self.base_channels, 3, subm=True,
-                             name='stem')(st, train)
-        skips = [st]
-        for i, ch in enumerate(self.encoder_channels):
-            st = SparseConvLayer(ch, 2, stride=2, padding=0, subm=False,
-                                 name=f'down{i}')(st, train)
-            st = SparseConvLayer(ch, 3, subm=True,
-                                 name=f'enc{i}')(st, train)
-            if i < len(self.encoder_channels) - 1:
-                skips.append(st)
-        for i, ch in enumerate(self.decoder_channels):
-            skip = skips[-(i + 1)]
-            parent = _parent_lookup(skip, st)
-            fpad = jnp.concatenate(
-                [st.features,
-                 jnp.zeros((1, st.features.shape[1]), st.features.dtype)],
-                0)
-            up = fpad[parent]
-            merged = jnp.concatenate([up, skip.features], -1)
-            st = SparseTensor(merged, skip.coords, skip.spatial_shape,
-                              skip.batch_size)
-            st = SparseConvLayer(ch, 3, subm=True,
-                                 name=f'dec{i}')(st, train)
+                             name='stem0')(st, train, rulebook=rb)
+        st = SparseConvLayer(self.base_channels, 3, subm=True,
+                             name='stem1')(st, train, rulebook=rb)
+        n = len(self.encoder_channels)
+        laterals = [st]
+        for i in range(n):
+            st = SparseConvLayer(
+                st.features.shape[-1], 2, stride=2, padding=0, subm=False,
+                name=f'down{i}')(st, train)
+            rb = build_subm_rulebook(st, 3)
+            for j in range(self.encoder_blocks[i]):
+                st = SparseBasicBlock(
+                    self.encoder_channels[i],
+                    name=f'enc{i}_{j}')(st, train, rulebook=rb)
+            if i < n - 1:
+                laterals.append(st)
+        laterals = laterals[::-1]
+        for i in range(n):
+            target = laterals[i]
+            st = SparseInverseConvLayer(
+                self.decoder_channels[i], name=f'up{i}')(st, target, train)
+            merged = jnp.concatenate([st.features, target.features], -1)
+            st = SparseTensor(merged, st.coords, st.spatial_shape,
+                              st.batch_size)
+            rb = build_subm_rulebook(st, 3)
+            for j in range(self.decoder_blocks[i]):
+                st = SparseBasicBlock(
+                    self.decoder_channels[i],
+                    name=f'dec{i}_{j}')(st, train, rulebook=rb)
         return st
 
 
