@@ -326,3 +326,41 @@ def test_visualizer_real_frame_render(tmp_path):
                  gt_bboxes=info['ann_info']['gt_bboxes_3d'],
                  out_file=out, pc_range=(0, -40, 70.4, 40))
     assert os.path.isfile(out) and os.path.getsize(out) > 1000
+
+
+def test_add_datasample_real_frame(tmp_path):
+    """The draw-everything entry (ref add_datasample:930) on the real
+    KITTI frame: BEV + 3D views with GT boxes and noisy 'predictions',
+    image projection, and a seg-mask render."""
+    from tpu_bev3d.datasets import KittiDataset
+    from tpu_bev3d.visualization import Det3DVisualizer
+    ds = KittiDataset(data_root=DEMO_KITTI, ann_file='000008.pkl',
+                      pipeline=LOAD_K)
+    info = ds.get_data_info(0)
+    s = ds.prepare_data(0)
+    gb = info['ann_info']['gt_bboxes_3d']
+    rng = np.random.default_rng(0)
+    pb = gb + rng.normal(0, 0.2, gb.shape).astype(np.float32)
+    vis = Det3DVisualizer(classes=['Pedestrian', 'Cyclist', 'Car'])
+    from tpu_bev3d.datasets.transforms.image_transforms import _imread
+    img = _imread(os.path.join(DEMO_KITTI, '000008.png'))
+    l2i = np.asarray(
+        pickle.load(open(os.path.join(DEMO_KITTI, '000008.pkl'), 'rb'))
+        ['data_list'][0]['images']['CAM2']['lidar2img'], np.float32)
+    files = vis.add_datasample(
+        'frame8',
+        dict(points=s['points'], img=img / 255.0, lidar2img=l2i),
+        pred=dict(bboxes=pb, scores=np.full(len(pb), 0.9, np.float32),
+                  labels=np.full(len(pb), 2)),
+        gt=dict(gt_bboxes_3d=gb), out_dir=str(tmp_path))
+    assert len(files) == 3
+    for f in files:
+        assert os.path.getsize(f) > 1000
+    # seg task: color points by height-band pseudo labels
+    seg = np.clip((s['points'][:, 2] + 3).astype(np.int64), 0, 4)
+    files2 = vis.add_datasample(
+        'frame8s', dict(points=s['points']),
+        pred=dict(pts_semantic_mask=seg), out_dir=str(tmp_path),
+        vis_task='lidar_seg')
+    assert len(files2) == 2
+    assert all(os.path.getsize(f) > 1000 for f in files2)

@@ -139,3 +139,54 @@ def test_minkunet_overfits_fixed_batch():
     m = np.asarray(preds['mask'])
     acc = (np.asarray(preds['pts_semantic_mask']) == labels)[m].mean()
     assert acc > 0.8, acc
+
+
+def test_lovasz_softmax_loss_semantics():
+    """Perfect one-hot predictions → ~0 loss; wrong predictions → high;
+    invalid rows and absent classes don't contribute."""
+    from tpu_bev3d.models.losses.losses import lovasz_softmax_loss
+    rng = np.random.default_rng(0)
+    N, K = 200, 5
+    labels = jnp.asarray(rng.integers(0, 3, N))     # classes 3,4 absent
+    valid = jnp.asarray(rng.uniform(size=N) > 0.2)
+    perfect = jax.nn.one_hot(labels, K) * 20.0
+    l0 = float(lovasz_softmax_loss(perfect, labels, valid))
+    assert l0 < 0.01, l0
+    wrong = jax.nn.one_hot((labels + 1) % 3, K) * 20.0
+    l1 = float(lovasz_softmax_loss(wrong, labels, valid))
+    assert l1 > 0.5, l1
+    # grad flows
+    g = jax.grad(lambda lg: lovasz_softmax_loss(lg, labels, valid))(
+        jnp.zeros((N, K)))
+    assert np.isfinite(np.asarray(g)).all() and np.abs(
+        np.asarray(g)).max() > 0
+    # flipping predictions on INVALID rows changes nothing
+    noise = jnp.where(valid[:, None], perfect,
+                      jax.nn.one_hot((labels + 2) % K, K) * 20.0)
+    l2 = float(lovasz_softmax_loss(noise, labels, valid))
+    assert abs(l2 - l0) < 1e-6
+
+
+def test_cylinder3d_lovasz_in_losses():
+    cfg = dict(
+        type='Cylinder3D', num_classes=5,
+        grid_shape=[16, 12, 8],
+        pc_range_cyl=[0.0, -3.14159265, -4.0, 50.0, 3.14159265, 2.0],
+        max_voxels=256, use_lovasz=True,
+        backbone=dict(type='MinkUNetBackbone', in_channels=67,
+                      base_channels=8, encoder_channels=[8, 16],
+                      encoder_blocks=[1, 1], decoder_channels=[16, 8],
+                      decoder_blocks=[1, 1]))
+    model = build_detector_from_cfg(cfg)
+    rng = np.random.default_rng(0)
+    B, P = 1, 128
+    pts = rng.uniform([-30, -30, -3, 0], [30, 30, 1, 1],
+                      (B, P, 4)).astype(np.float32)
+    batch = dict(points=jnp.asarray(pts),
+                 points_mask=jnp.ones((B, P), bool),
+                 pts_semantic_mask=jnp.asarray(
+                     rng.integers(0, 5, (B, P)), jnp.int32))
+    variables = model.init(jax.random.PRNGKey(0), batch, mode='tensor')
+    losses = model.apply(variables, batch, mode='loss')
+    assert 'loss_lovasz' in losses
+    assert np.isfinite(float(losses['loss_lovasz']))

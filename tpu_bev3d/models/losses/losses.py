@@ -225,3 +225,34 @@ class CrossEntropyLoss:
             loss = softmax_cross_entropy(logits, labels)
         return self.loss_weight * _reduce(loss, weight, self.reduction,
                                           avg_factor)
+
+
+def lovasz_softmax_loss(logits, labels, valid, ignore_index: int = 255):
+    """Masked fixed-shape Lovasz-softmax (ref mmseg LovaszLoss as used by
+    the Cylinder3D recipe; Berman et al. 2018).
+
+    logits [..., K]; labels [...] int; valid [...] bool. Invalid rows get
+    error 0 so they sort last and contribute nothing; classes absent from
+    the batch are skipped ('present' mode).
+    """
+    K = logits.shape[-1]
+    probs = jax.nn.softmax(logits.astype(jnp.float32), -1).reshape(-1, K)
+    lab = labels.reshape(-1)
+    v = valid.reshape(-1) & (lab != ignore_index)
+    lab = jnp.clip(lab, 0, K - 1)
+
+    def per_class(c):
+        fg = ((lab == c) & v).astype(jnp.float32)
+        err = jnp.abs(fg - probs[:, c]) * v.astype(jnp.float32)
+        order = jnp.argsort(-err)
+        fg_s = fg[order]
+        err_s = err[order]
+        gts = jnp.sum(fg_s)
+        inter = gts - jnp.cumsum(fg_s)
+        union = gts + jnp.cumsum(1.0 - fg_s)
+        jacc = 1.0 - inter / jnp.maximum(union, 1.0)
+        grad = jnp.concatenate([jacc[:1], jacc[1:] - jacc[:-1]])
+        return jnp.sum(err_s * grad), (gts > 0).astype(jnp.float32)
+
+    losses, present = jax.vmap(per_class)(jnp.arange(K))
+    return jnp.sum(losses * present) / jnp.maximum(jnp.sum(present), 1.0)
