@@ -193,3 +193,23 @@ def test_swin_drop_path_train_stochastic_eval_inert():
         v, x, train=True,
         rngs={'dropout': jax.random.PRNGKey(k)})[0]))) for k in range(6)]))
     assert 0.5 * r0 < rt < 2.0 * r0
+
+
+def test_swin_window_packing_exact():
+    """pack_windows (MXU tile packing) is BIT-equivalent in value to the
+    unpacked attention — cross-window logits are -inf before softmax —
+    including through shifted blocks on non-divisible maps."""
+    from tpu_bev3d.models.backbones.swin import SwinTransformer
+    x = jnp.asarray(np.random.default_rng(0)
+                    .normal(0, 1, (2, 40, 60, 3)).astype(np.float32))
+    m1 = SwinTransformer(embed_dims=16, depths=(2, 2), num_heads=(2, 2),
+                         window_size=4, out_indices=(0, 1))
+    m2 = SwinTransformer(embed_dims=16, depths=(2, 2), num_heads=(2, 2),
+                         window_size=4, out_indices=(0, 1),
+                         pack_windows=2)
+    v = m1.init(jax.random.PRNGKey(0), x)
+    o1 = m1.apply(v, x, train=False)
+    o2 = m2.apply(v, x, train=False)
+    for a, b in zip(o1, o2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-5, atol=2e-5)

@@ -20,6 +20,16 @@ def main():
     args = p.parse_args()
 
     import jax
+    # persistent compile cache (same as bench.py) — remote-TPU compiles
+    # are minutes cold, seconds warm
+    jax.config.update('jax_compilation_cache_dir', os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        '.jax_cache'))
+    jax.config.update('jax_persistent_cache_min_entry_size_bytes', -1)
+    jax.config.update('jax_persistent_cache_min_compile_time_secs', 0)
+    if os.environ.get('TPU_BEV3D_PLATFORM'):
+        jax.config.update('jax_platforms',
+                          os.environ['TPU_BEV3D_PLATFORM'])
     import jax.numpy as jnp
     from tpu_bev3d.config import Config
     from tpu_bev3d.testing import (build_detector_from_cfg,
@@ -30,8 +40,11 @@ def main():
     pdim = int(cfg.model.get('voxel_encoder', {}).get(
         'in_channels', cfg.model.get('voxel_encoder', {}).get(
             'num_features', 4)))
+    # one DISTINCT batch per timed iteration: repeated identical args
+    # report impossibly fast times through the remote-TPU tunnel
+    # (appears memoized — see CLAUDE.md timing notes)
     batches = []
-    for i in range(4):
+    for i in range(args.iters):
         b = create_detector_inputs(
             rng=__import__('numpy').random.default_rng(i),
             batch_size=args.batch_size, num_points=args.num_points,
@@ -42,10 +55,17 @@ def main():
         jax.random.PRNGKey(0), batches[0])
     fn = jax.jit(lambda v, b: model.apply(v, b, mode='predict'))
     for i in range(args.warmup):
-        jax.block_until_ready(fn(variables, batches[i % 4]))
+        jax.block_until_ready(fn(variables, batches[i % len(batches)]))
+    # throughput protocol (same as bench.py): enqueue every frame with
+    # distinct inputs, block once — pays the remote-tunnel RTT once
+    # instead of per frame
     t0 = time.perf_counter()
-    for i in range(args.iters):
-        jax.block_until_ready(fn(variables, batches[i % 4]))
+    outs = [fn(variables, batches[i]) for i in range(args.iters)]
+    # hard host readback chained on EVERY output: block_until_ready can
+    # return early through this tunnel (docs/benchmarks.md), a float()
+    # of a reduction cannot
+    acc = sum(jnp.sum(o['bboxes']) for o in outs)
+    _ = float(acc)
     dt = time.perf_counter() - t0
     fps = args.iters * args.batch_size / dt
     print(f'{fps:.2f} frames/s ({dt / args.iters * 1000:.2f} ms/iter)')
