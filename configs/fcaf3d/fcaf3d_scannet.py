@@ -17,7 +17,7 @@ model = dict(
     backbone=dict(
         type='MinkUNetBackbone', in_channels=6, base_channels=64,
         encoder_channels=[64, 128, 256, 512],
-        decoder_channels=[256, 128, 128]),
+        decoder_channels=[256, 128, 128, 128]),
     bbox_head=dict(
         type='FCAF3DHead',
         num_classes=18,

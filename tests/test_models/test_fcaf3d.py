@@ -15,7 +15,8 @@ def test_fcaf3d():
         max_voxels=512,
         backbone=dict(
             type='MinkUNetBackbone', in_channels=4, base_channels=8,
-            encoder_channels=[8, 16, 16], decoder_channels=[16, 16]),
+            encoder_channels=[8, 16, 16], encoder_blocks=[1, 1, 1],
+            decoder_channels=[16, 16, 16], decoder_blocks=[1, 1, 1]),
         bbox_head=dict(
             type='FCAF3DHead', num_classes=5, in_channels=16,
             voxel_size=[0.32, 0.32, 0.32],
