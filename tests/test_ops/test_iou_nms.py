@@ -146,3 +146,53 @@ def test_multiclass_nms_shapes(rng):
     # scores sorted descending among valid
     s = np.asarray(out['scores'])[mask]
     assert np.all(np.diff(s) <= 1e-6)
+
+
+def test_sortfree_area_matches_hullsort_oracle():
+    """The Green's-theorem edge-clip area (sort-free, TPU-fast) must
+    agree with the hull-sort construction on random rotated pairs,
+    including identical boxes (coincident boundaries count once),
+    containment, and disjoint pairs."""
+    import jax
+    import jax.numpy as jnp
+    from tpu_bev3d.ops.iou3d import (_pair_intersection_area,
+                                     _pair_intersection_area_hullsort,
+                                     rotated_iou_bev)
+    from tpu_bev3d.structures.boxes3d import corners_bev
+
+    rng = np.random.default_rng(0)
+    n = 200
+    b = np.zeros((n, 7), np.float32)
+    b[:, :2] = rng.uniform(-5, 5, (n, 2))
+    b[:, 3:5] = rng.uniform(0.5, 4.0, (n, 2))
+    b[:, 5] = 1.0
+    b[:, 6] = rng.uniform(-np.pi, np.pi, n)
+    q = corners_bev(jnp.asarray(b), jnp)                 # [n,4,2]
+    f_new = jax.vmap(_pair_intersection_area)
+    f_old = jax.vmap(_pair_intersection_area_hullsort)
+    i = rng.integers(0, n, 400)
+    j = rng.integers(0, n, 400)
+    a_new = np.asarray(f_new(q[i], q[j]))
+    a_old = np.asarray(f_old(q[i], q[j]))
+    np.testing.assert_allclose(a_new, a_old, rtol=1e-3, atol=1e-3)
+    # identical boxes → own area exactly once
+    a_self = np.asarray(f_new(q[:20], q[:20]))
+    np.testing.assert_allclose(a_self, b[:20, 3] * b[:20, 4],
+                               rtol=1e-4, atol=1e-4)
+    # containment: big box contains small co-centered box
+    big = b[:10].copy(); big[:, 3:5] *= 4
+    qb = corners_bev(jnp.asarray(big), jnp)
+    a_cont = np.asarray(f_new(qb, q[:10]))
+    np.testing.assert_allclose(a_cont, b[:10, 3] * b[:10, 4],
+                               rtol=1e-4, atol=1e-4)
+    # disjoint
+    far = b[:10].copy(); far[:, 0] += 100
+    qf = corners_bev(jnp.asarray(far), jnp)
+    np.testing.assert_allclose(np.asarray(f_new(q[:10], qf)), 0.0,
+                               atol=1e-6)
+    # full IoU matrix symmetric-ish and in [0, 1]
+    iou = np.asarray(rotated_iou_bev(jnp.asarray(b[:, [0, 1, 3, 4, 6]]),
+                                     jnp.asarray(b[:, [0, 1, 3, 4, 6]])))
+    assert (iou >= -1e-6).all() and (iou <= 1 + 1e-5).all()
+    np.testing.assert_allclose(iou, iou.T, atol=2e-3)
+    np.testing.assert_allclose(np.diag(iou), 1.0, atol=1e-4)

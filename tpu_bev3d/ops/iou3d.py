@@ -75,14 +75,71 @@ def _convex_area(cand, valid):
     return jnp.where(n_valid >= 3, area, 0.0)
 
 
-def _pair_intersection_area(q1, q2):
-    """Intersection area of two convex quads [4,2]."""
+def _pair_intersection_area_hullsort(q1, q2):
+    """Hull-sort variant (kept as the oracle for tests): candidates =
+    corners-inside + edge intersections, angular sort, shoelace."""
     in2 = _point_in_quad(q1, q2)
     in1 = _point_in_quad(q2, q1)
     ipts, ivalid = _seg_intersections(q1, q2)
     cand = jnp.concatenate([q1, q2, ipts], axis=0)          # [24,2]
     valid = jnp.concatenate([in2, in1, ivalid], axis=0)      # [24]
     return _convex_area(cand, valid)
+
+
+def _edge_clip_contrib(a, d, sgn_self, qa, eq, sgn_other, par_tol):
+    """Shoelace contribution of one directed edge p(t)=a+t·d (t∈[0,1]),
+    Cyrus–Beck clipped to the inside of the other quad's 4 half-planes.
+
+    qa [4,2] other-quad edge origins; eq [4,2] other-quad edge vectors;
+    sgn_other orients "inside = left/right of edge". par_tol sets the
+    parallel-edge boundary rule: −tol keeps on-boundary segments, +tol
+    drops them (the two passes use opposite rules so coincident edges of
+    the two quads are counted exactly once). Returns the origin-based
+    shoelace term ½·cross(p(t0), p(t1)) of the surviving sub-segment,
+    oriented by sgn_self (0 if empty)."""
+    # f_k(t) = sgn_other·cross(eq_k, a + t·d − qa_k) = alpha_k + t·beta_k
+    rel = a[None, :] - qa                                   # [4,2]
+    alpha = sgn_other * (eq[:, 0] * rel[:, 1] - eq[:, 1] * rel[:, 0])
+    beta = sgn_other * (eq[:, 0] * d[1] - eq[:, 1] * d[0])  # [4]
+    tcross = -alpha / jnp.where(jnp.abs(beta) > _EPS, beta, _EPS)
+    para = jnp.abs(beta) <= _EPS
+    t0 = jnp.max(jnp.where(~para & (beta > 0), tcross, 0.0),
+                 initial=0.0)
+    t1 = jnp.min(jnp.where(~para & (beta < 0), tcross, 1.0),
+                 initial=1.0)
+    empty = jnp.any(para & (alpha < par_tol)) | (t0 >= t1)
+    p0 = a + t0 * d
+    p1 = a + t1 * d
+    term = 0.5 * (p0[0] * p1[1] - p1[0] * p0[1])
+    return jnp.where(empty, 0.0, sgn_self * term)
+
+
+def _pair_intersection_area(q1, q2):
+    """Intersection area of two convex quads [4,2] — SORT-FREE.
+
+    Green's theorem: the boundary of A∩B is (∂A inside B) ∪ (∂B inside
+    A); origin-based shoelace terms of the clipped sub-segments sum to
+    the area in ANY order, so no hull construction / angular argsort is
+    needed (the per-pair argsort cost ~170 ms for a 512² NMS matrix on
+    TPU — this formulation is pure vectorized arithmetic).
+    """
+    def quad_edges(q):
+        e = jnp.roll(q, -1, axis=0) - q                     # [4,2]
+        area2 = jnp.sum(q[:, 0] * jnp.roll(q, -1, 0)[:, 1]
+                        - jnp.roll(q, -1, 0)[:, 0] * q[:, 1])
+        return e, jnp.sign(area2)
+
+    e1, s1 = quad_edges(q1)
+    e2, s2 = quad_edges(q2)
+    # edges of A clipped to inside-B (traversal orientation s1), and
+    # edges of B clipped to inside-A (orientation s2); with both
+    # oriented CCW the signed sum is +area
+    tol = 1e-6
+    contrib_a = jax.vmap(
+        lambda a, d: _edge_clip_contrib(a, d, s1, q2, e2, s2, -tol))(q1, e1)
+    contrib_b = jax.vmap(
+        lambda a, d: _edge_clip_contrib(a, d, s2, q1, e1, s1, tol))(q2, e2)
+    return jnp.maximum(jnp.sum(contrib_a) + jnp.sum(contrib_b), 0.0)
 
 
 def rotated_overlaps_bev(boxes1, boxes2):
