@@ -364,3 +364,27 @@ def test_add_datasample_real_frame(tmp_path):
         vis_task='lidar_seg')
     assert len(files2) == 2
     assert all(os.path.getsize(f) > 1000 for f in files2)
+
+
+def test_update_infos_to_v2_on_real_v1_pkl(tmp_path):
+    """The REAL v1-format mono pkl from the reference fixtures
+    (kitti_infos_mono3d.pkl: list of image/point_cloud/calib/annos dicts)
+    upgrades to the v2 metainfo+data_list schema and loads through
+    KittiDataset."""
+    from tools.update_infos_to_v2 import update_pkl_infos
+    from tpu_bev3d.datasets import KittiDataset
+    src = os.path.join(KITTI, 'kitti_infos_mono3d.pkl')
+    out = os.path.join(tmp_path, 'v2.pkl')
+    new = update_pkl_infos('kitti', src, out)
+    assert 'data_list' in new and len(new['data_list']) == 1
+    inst = new['data_list'][0]['instances']
+    assert len(inst) >= 1
+    # v1 annos are camera-frame label-file rows: (x, y, z, l, w?, h?, ry)
+    # converted with lhw reorder — check the fields exist and are finite
+    b = np.asarray(inst[0]['bbox_3d'])
+    assert b.shape == (7,) and np.isfinite(b).all()
+    assert 'bbox' in inst[0] and 'occluded' in inst[0]
+    ds = KittiDataset(data_root=str(tmp_path), ann_file='v2.pkl',
+                      pipeline=[dict(type='LoadAnnotations3D')])
+    ann = ds.get_data_info(0)['ann_info']
+    assert ann is not None and len(ann['gt_labels_3d']) == len(inst)
