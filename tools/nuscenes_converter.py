@@ -196,6 +196,10 @@ def create_nuscenes_infos(root, version='v1.0-mini', out_file=None,
         sweeps = []
         tok = lsd['prev']
         while tok and len(sweeps) < max_sweeps:
+            # subset exports (and the devkit's own minival splits) can
+            # reference prev frames outside the table — stop the walk
+            if tok not in by_tok['sample_data']:
+                break
             sd = by_tok['sample_data'][tok]
             scs = by_tok['calibrated_sensor'][sd['calibrated_sensor_token']]
             sep = by_tok['ego_pose'][sd['ego_pose_token']]

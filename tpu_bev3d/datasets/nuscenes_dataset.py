@@ -42,7 +42,10 @@ class NuScenesDataset(Det3DDataset):
                 and 'bbox_3d_isvalid' in instances[0]:
             mask = np.asarray([i['bbox_3d_isvalid'] for i in instances], bool)
         elif instances and 'num_lidar_pts' in instances[0]:
-            mask = np.asarray([i['num_lidar_pts'] for i in instances]) > 0
+            cnt = np.asarray([i['num_lidar_pts'] for i in instances])
+            # -1 = count unknown (e.g. Lyft tables carry none): keep;
+            # only drop boxes KNOWN to contain zero returns
+            mask = (cnt > 0) | (cnt < 0)
         else:
             mask = np.ones(len(ann['gt_labels_3d']), bool)
         boxes = ann['gt_bboxes_3d'][mask].copy()

@@ -96,3 +96,110 @@ class CustomDataset(Det3DDataset):
     Build infos with tools/custom_scene_converter.py."""
     METAINFO = {'classes': ['car', 'truck', 'bus', 'pedestrian',
                             'bicycle']}
+
+
+@DATASETS.register_module()
+class ScanNetDataset(Det3DDataset):
+    """Indoor detection over ScanNet infos (ref scannet_dataset.py:15).
+
+    v2 infos store GRAVITY-centered yaw-free 6-dim boxes
+    (DepthInstance3DBoxes origin (0.5, 0.5, 0.5), ref :173-177); parsed
+    to the framework's 7-dim bottom-center convention (yaw = 0).
+    ``axis_align_matrix`` and seg-mask paths are exposed for
+    GlobalAlignment / seg training."""
+    METAINFO = {'classes': [
+        'cabinet', 'bed', 'chair', 'sofa', 'table', 'door', 'window',
+        'bookshelf', 'picture', 'counter', 'desk', 'curtain',
+        'refrigerator', 'showercurtrain', 'toilet', 'sink', 'bathtub',
+        'garbagebin'],
+        'seg_valid_class_ids': (3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 14, 16,
+                                24, 28, 33, 34, 36, 39),
+        'seg_all_class_ids': tuple(range(41))}
+
+    def parse_ann_info(self, info):
+        ann = super().parse_ann_info(info)
+        if ann is None:
+            return dict(gt_bboxes_3d=np.zeros((0, 7), np.float32),
+                        gt_labels_3d=np.zeros((0,), np.int64))
+        b = ann['gt_bboxes_3d']
+        if b.shape[1] == 6:                       # pad yaw
+            b = np.concatenate(
+                [b, np.zeros((len(b), 1), np.float32)], -1)
+        b = b.copy()
+        b[:, 2] -= b[:, 5] / 2                    # gravity → bottom center
+        return dict(gt_bboxes_3d=b.astype(np.float32),
+                    gt_labels_3d=ann['gt_labels_3d'])
+
+    def parse_data_info(self, info):
+        import os
+        out = super().parse_data_info(info)
+        if 'axis_align_matrix' in info:
+            out['axis_align_matrix'] = np.asarray(
+                info['axis_align_matrix'], np.float32)
+        for k, pref in (('pts_semantic_mask_path', 'pts_semantic_mask'),
+                        ('pts_instance_mask_path', 'pts_instance_mask')):
+            if k in info:
+                p = info[k]
+                if not os.path.isabs(p):
+                    p = os.path.join(self.data_root,
+                                     self.data_prefix.get(pref, ''), p)
+                out[k] = p
+        return out
+
+
+@DATASETS.register_module()
+class SUNRGBDDataset(Det3DDataset):
+    """Indoor detection over SUN RGB-D infos (ref sunrgbd_dataset.py:14);
+    7-dim gravity-centered boxes with yaw → bottom-center."""
+    METAINFO = {'classes': [
+        'bed', 'table', 'sofa', 'chair', 'toilet', 'desk', 'dresser',
+        'night_stand', 'bookshelf', 'bathtub']}
+
+    def parse_ann_info(self, info):
+        ann = super().parse_ann_info(info)
+        if ann is None:
+            return dict(gt_bboxes_3d=np.zeros((0, 7), np.float32),
+                        gt_labels_3d=np.zeros((0,), np.int64))
+        b = ann['gt_bboxes_3d'].copy()
+        b[:, 2] -= b[:, 5] / 2
+        return dict(gt_bboxes_3d=b.astype(np.float32),
+                    gt_labels_3d=ann['gt_labels_3d'])
+
+
+@DATASETS.register_module()
+class S3DISDataset(ScanNetDataset):
+    """S3DIS indoor detection (ref s3dis_dataset.py:14) — ScanNet
+    parsing with the S3DIS class table."""
+    METAINFO = {'classes': ['table', 'chair', 'sofa', 'bookcase', 'board'],
+                'seg_valid_class_ids': (7, 8, 9, 10, 11),
+                'seg_all_class_ids': tuple(range(1, 14))}
+
+
+class _SegMixin:
+    """seg_label_mapping from (valid, all) class-id tables (ref
+    Seg3DDataset.get_seg_label_mapping): raw ids → contiguous train ids,
+    everything else → ignore (255)."""
+
+    def _seg_mapping(self):
+        valid = self.METAINFO.get('seg_valid_class_ids', ())
+        allids = self.METAINFO.get('seg_all_class_ids', ())
+        n = max(list(allids) + list(valid)) + 1 if (valid or allids) else 1
+        m = np.full((n,), 255, np.int64)
+        for i, v in enumerate(valid):
+            m[v] = i
+        return m
+
+    def parse_data_info(self, info):
+        out = super().parse_data_info(info)
+        out['seg_label_mapping'] = self._seg_mapping()
+        return out
+
+
+@DATASETS.register_module()
+class ScanNetSegDataset(_SegMixin, ScanNetDataset):
+    """ScanNet semantic segmentation (ref scannet_dataset.py:183)."""
+
+
+@DATASETS.register_module()
+class S3DISSegDataset(_SegMixin, S3DISDataset):
+    """S3DIS semantic segmentation (ref s3dis_dataset.py:238)."""
