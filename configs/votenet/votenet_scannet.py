@@ -31,3 +31,23 @@ model = dict(
 )
 
 data_root = 'data/scannet/'
+
+# ---- data (ref configs/_base_/datasets/scannet-3d.py train pipeline) ----
+train_pipeline = [
+    dict(type='LoadPointsFromFile', coord_type='DEPTH', shift_height=True,
+         load_dim=6, use_dim=[0, 1, 2]),
+    dict(type='LoadAnnotations3D', with_seg_3d=True),
+    dict(type='GlobalAlignment', rotation_axis=2),
+    dict(type='PointSample', num_points=40000),
+    dict(type='RandomFlip3D', flip_ratio_bev_horizontal=0.5,
+         flip_ratio_bev_vertical=0.5),
+    dict(type='GlobalRotScaleTrans', rot_range=[-0.087266, 0.087266],
+         scale_ratio_range=[1.0, 1.0]),
+    dict(type='Pack3DDetInputs', num_points=40000, max_gt=64),
+]
+train_dataloader = dict(dataset=dict(
+    type='ScanNetDataset', data_root=data_root,
+    ann_file='scannet_infos_train.pkl',
+    data_prefix=dict(pts='points', pts_semantic_mask='semantic_mask',
+                     pts_instance_mask='instance_mask'),
+    pipeline=train_pipeline))

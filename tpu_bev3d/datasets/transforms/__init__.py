@@ -11,7 +11,8 @@ from .transforms_extra import (AffineResize, RandomShiftScale, Resize3D,
                                GlobalAlignment, RandomJitterPoints,
                                RandomDropPointsColor, BackgroundPointsFilter,
                                VoxelBasedPointSampler,
-                               IndoorPatchPointSample, PolarMix, LaserMix)
+                               IndoorPatchPointSample, PolarMix, LaserMix,
+                               PointSegClassMapping)
 from .formating import Pack3DDetInputs
 from .dbsampler import DataBaseSampler
 from .image_transforms import (BEVLoadMultiViewImageFromFiles, ImageAug3D,
@@ -28,5 +29,5 @@ __all__ = [
     'MultiViewWrapper', 'GlobalAlignment', 'RandomJitterPoints',
     'RandomDropPointsColor', 'BackgroundPointsFilter',
     'VoxelBasedPointSampler', 'IndoorPatchPointSample', 'PolarMix',
-    'LaserMix', 'LoadImageFromFileMono3D',
+    'LaserMix', 'LoadImageFromFileMono3D', 'PointSegClassMapping',
 ]

@@ -44,10 +44,18 @@ class LoadPointsFromFile:
         prefix = self.use_dim == list(range(len(self.use_dim)))
         self.pc_range = list(pc_range) if pc_range is not None else None
         self.max_points = max_points
-        self.native = bool(native) and prefix
+        self.shift_height = shift_height
+        self.native = bool(native) and prefix and not shift_height
         if self.native:
             from ..pointio import available
             self.native = available()
+
+    def _shift_height(self, pts):
+        # ref loading.py:659-665: height channel = z - 99th-percentile
+        # floor, inserted after xyz
+        floor = np.percentile(pts[:, 2], 0.99)
+        h = (pts[:, 2] - floor)[:, None]
+        return np.concatenate([pts[:, :3], h, pts[:, 3:]], 1)
 
     def __call__(self, results: dict) -> dict:
         path = results.get('lidar_path') or \
@@ -60,6 +68,8 @@ class LoadPointsFromFile:
             results['points'] = pts[:n]
             return results
         pts = _load_points_file(path, self.load_dim)[:, self.use_dim]
+        if self.shift_height:
+            pts = self._shift_height(pts)
         results['points'] = pts
         return results
 

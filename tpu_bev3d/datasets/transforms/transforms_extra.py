@@ -782,3 +782,19 @@ class LaserMix:
         results['points'] = np.concatenate(out_p, 0)
         results['pts_semantic_mask'] = np.concatenate(out_s, 0)
         return results
+
+
+@TRANSFORMS.register_module()
+class PointSegClassMapping:
+    """Map raw semantic ids → contiguous train ids using the dataset's
+    ``seg_label_mapping`` (ref loading.py PointSegClassMapping);
+    out-of-table ids → 255 (ignore)."""
+
+    def __call__(self, results: dict) -> dict:
+        m = np.asarray(results['seg_label_mapping'], np.int64)
+        seg = np.asarray(results['pts_semantic_mask']).astype(np.int64)
+        out = np.full(seg.shape, 255, np.int64)
+        ok = (seg >= 0) & (seg < len(m))
+        out[ok] = m[seg[ok]]
+        results['pts_semantic_mask'] = out
+        return results

@@ -132,9 +132,9 @@ class GroupFree3DHead(nn.Module):
             l_dir_res = jnp.sum(smooth_l1_loss(
                 rp, bin_res[nearest] / (bin_w / 2)) * pos) / npos
             cls = jnp.clip(gtl[nearest], 0)
+            # class-axis gather (see vote_head note on OOB NaN fill)
             sz = jnp.take_along_axis(
-                pred['size_res'], cls[:, None, None].repeat(3, -1),
-                2)[:, 0]
+                pred['size_res'], cls[:, None, None], 1)[:, 0]
             sz_tgt = (gtb[nearest][:, 3:6] - mean_sizes[cls]) \
                 / jnp.maximum(mean_sizes[cls], 1e-3)
             l_size = jnp.sum(jnp.sum(smooth_l1_loss(sz, sz_tgt), -1)

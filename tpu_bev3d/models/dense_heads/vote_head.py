@@ -152,8 +152,10 @@ class VoteHead(nn.Module):
                 * pos) / npos
             # size: class residual vs mean size
             cls = jnp.clip(gtl[nearest], 0)
+            # gather along the CLASS axis (1); axis-2 indexing with
+            # class ids NaN-fills for classes >= 3 (JAX OOB gather)
             sz_pred = jnp.take_along_axis(
-                r['size_res'], cls[:, None, None].repeat(3, -1), 2)[:, 0]
+                r['size_res'], cls[:, None, None], 1)[:, 0]
             sz_tgt = (gtb[nearest][:, 3:6] - mean_sizes[cls]) \
                 / jnp.maximum(mean_sizes[cls], 1e-3)
             l_size = jnp.sum(
@@ -184,9 +186,12 @@ class VoteHead(nn.Module):
             dres = jnp.take_along_axis(r['dir_res'], bin_id[:, None],
                                        -1)[..., 0] * (bin_w / 2)
             yaw = bin_id * bin_w + bin_w / 2 + dres
+            # size_res [Q, num_classes, 3]: gather the predicted class's
+            # row (axis=1!). Indexing axis 2 with class ids silently
+            # NaN-filled for classes >= 3 (JAX OOB gather fill) — caught
+            # by the real-ScanNet fixture (18 classes).
             sz = jnp.take_along_axis(
-                r['size_res'], sem_cls[:, None, None].repeat(3, -1),
-                2)[:, 0]
+                r['size_res'], sem_cls[:, None, None], 1)[:, 0]
             dims = mean_sizes[sem_cls] * (1 + sz)
             dims = jnp.maximum(dims, 0.01)
             ctr = r['center']
