@@ -36,3 +36,23 @@ train_cfg = dict(
 )
 
 data_root = 'data/scannet/'
+
+# ---- data (ref configs/fcaf3d scannet pipeline) ----
+train_pipeline = [
+    dict(type='LoadPointsFromFile', coord_type='DEPTH', load_dim=6,
+         use_dim=[0, 1, 2]),
+    dict(type='LoadAnnotations3D'),
+    dict(type='GlobalAlignment', rotation_axis=2),
+    dict(type='PointSample', num_points=100000),
+    dict(type='RandomFlip3D', flip_ratio_bev_horizontal=0.5,
+         flip_ratio_bev_vertical=0.5),
+    dict(type='GlobalRotScaleTrans', rot_range=[-0.087266, 0.087266],
+         scale_ratio_range=[0.9, 1.1], translation_std=[0.1, 0.1, 0.1]),
+    dict(type='Pack3DDetInputs', num_points=100000, max_gt=64),
+]
+train_dataloader = dict(dataset=dict(
+    type='ScanNetDataset', data_root=data_root,
+    ann_file='scannet_infos_train.pkl',
+    data_prefix=dict(pts='points', pts_semantic_mask='semantic_mask',
+                     pts_instance_mask='instance_mask'),
+    pipeline=train_pipeline))

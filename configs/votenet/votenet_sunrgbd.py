@@ -41,3 +41,20 @@ train_cfg = dict(
     clip_grad_norm=10.0,
     batch_size=16,
 )
+
+# ---- data (ref configs/_base_/datasets/sunrgbd-3d.py train pipeline) ----
+data_root = 'data/sunrgbd/'
+train_pipeline = [
+    dict(type='LoadPointsFromFile', coord_type='DEPTH', shift_height=True,
+         load_dim=6, use_dim=[0, 1, 2]),
+    dict(type='LoadAnnotations3D'),
+    dict(type='RandomFlip3D', flip_ratio_bev_horizontal=0.5),
+    dict(type='GlobalRotScaleTrans', rot_range=[-0.523599, 0.523599],
+         scale_ratio_range=[0.85, 1.15]),
+    dict(type='PointSample', num_points=20000),
+    dict(type='Pack3DDetInputs', num_points=20000, max_gt=64),
+]
+train_dataloader = dict(dataset=dict(
+    type='SUNRGBDDataset', data_root=data_root,
+    ann_file='sunrgbd_infos_train.pkl',
+    data_prefix=dict(pts='points'), pipeline=train_pipeline))

@@ -576,3 +576,51 @@ def test_votenet_on_real_scannet_fixture():
         assert np.isfinite(float(val)), (k, val)
     preds = model.apply(v, batch, mode='predict')
     assert np.isfinite(np.asarray(preds['bboxes'])).all()
+
+
+def test_petr_on_real_nuscenes_frame():
+    """Camera-only family on REAL data: the 6 real camera images + real
+    calibration of the demo frame through the L+C pipeline into a tiny
+    PETR — loss and predict finite with real GT."""
+    import jax
+    import jax.numpy as jnp
+    from tpu_bev3d.config import Config
+    from tpu_bev3d.datasets import NuScenesDataset, DataLoader
+    from tpu_bev3d.testing import build_detector_from_cfg
+
+    pipeline = [
+        dict(type='LoadPointsFromFile', load_dim=5, use_dim=5),
+        dict(type='BEVLoadMultiViewImageFromFiles', num_views=6),
+        dict(type='ImageAug3D', final_dim=(64, 176),
+             resize_lim=(0.11, 0.11), is_train=False),
+        dict(type='LoadAnnotations3D'),
+        dict(type='Pack3DDetInputs', num_points=1024, max_gt=64,
+             box_dim=9),
+    ]
+    ds = NuScenesDataset(data_root=DEMO_NUS, ann_file=NUS_DEMO_PKL,
+                         use_valid_flag=True,
+                         modality=dict(use_lidar=True, use_camera=True),
+                         pipeline=pipeline)
+    b = next(iter(DataLoader(ds, batch_size=1)))
+    cfg = Config.fromfile('configs/petr/petr_swin_nus.py')
+    m = cfg.model
+    m.image_size = [64, 176]
+    m.img_backbone.embed_dims = 24
+    m.img_backbone.num_heads = [2, 4, 8, 16]
+    m.img_neck.in_channels = [48, 96, 192]
+    m.img_neck.out_channels = 32
+    m.bbox_head.in_channels = 32
+    m.bbox_head.embed_dims = 32
+    m.bbox_head.num_query = 32
+    m.bbox_head.num_layers = 2
+    m.bbox_head.depth_num = 8
+    m.bbox_head.max_num = 16
+    model = build_detector_from_cfg(m)
+    batch = {k: jnp.asarray(v) for k, v in b.items() if k != 'metainfo'}
+    v = model.init(jax.random.PRNGKey(0), batch, mode='tensor')
+    losses, _ = model.apply(v, batch, mode='loss', train=True,
+                            mutable=['batch_stats'])
+    for k, val in losses.items():
+        assert np.isfinite(float(val)), (k, val)
+    preds = model.apply(v, batch, mode='predict')
+    assert np.isfinite(np.asarray(preds['bboxes'])).all()
