@@ -624,3 +624,17 @@ def test_petr_on_real_nuscenes_frame():
         assert np.isfinite(float(val)), (k, val)
     preds = model.apply(v, batch, mode='predict')
     assert np.isfinite(np.asarray(preds['bboxes'])).all()
+
+
+def test_s3dis_real_fixture():
+    from tpu_bev3d.datasets import S3DISDataset, S3DISSegDataset
+    root = os.path.join(DATA, 's3dis')
+    ds = S3DISDataset(data_root=root, ann_file='s3dis_infos.pkl',
+                      data_prefix=dict(pts='points'),
+                      pipeline=[dict(type='LoadAnnotations3D')])
+    ann = ds.get_data_info(0)['ann_info']
+    assert ann['gt_bboxes_3d'].shape[1] == 7
+    seg = S3DISSegDataset(data_root=root, ann_file='s3dis_infos.pkl',
+                          data_prefix=dict(pts='points'), pipeline=[])
+    m = seg.get_data_info(0)['seg_label_mapping']
+    assert m[7] == 0 and m[11] == 4 and m[1] == 255
