@@ -196,3 +196,26 @@ def test_sortfree_area_matches_hullsort_oracle():
     assert (iou >= -1e-6).all() and (iou <= 1 + 1e-5).all()
     np.testing.assert_allclose(iou, iou.T, atol=2e-3)
     np.testing.assert_allclose(np.diag(iou), 1.0, atol=1e-4)
+
+    # abutting boxes sharing an edge (advisor r2: opposite-direction
+    # coincident edges gave spurious area 0.5 → IoU 0.33; must be 0)
+    ab = np.asarray([[0.5, 0.5, 0.0, 1.0, 1.0, 1.0, 0.0],   # [0,1]²
+                     [1.5, 0.5, 0.0, 1.0, 1.0, 1.0, 0.0],   # [1,2]²
+                     [0.5, 1.5, 0.0, 1.0, 1.0, 1.0, 0.0],   # [0,1]x[1,2]
+                     [0.5, 0.5, 0.0, 1.0, 1.0, 1.0, np.pi]],
+                    np.float32)                              # [0,1]² rot180
+    qab = corners_bev(jnp.asarray(ab), jnp)
+    # x-abutting and y-abutting: zero intersection both orders
+    for i_, j_ in [(0, 1), (1, 0), (0, 2), (2, 0)]:
+        np.testing.assert_allclose(
+            float(_pair_intersection_area(qab[i_], qab[j_])), 0.0,
+            atol=1e-5)
+    # pi-rotated identical box: coincident edges on ALL sides with
+    # relabeled corners — must still count each boundary exactly once
+    np.testing.assert_allclose(
+        float(_pair_intersection_area(qab[0], qab[3])), 1.0, rtol=1e-4)
+    # corner-touching diagonal neighbor: zero
+    cb = np.asarray([[1.5, 1.5, 0.0, 1.0, 1.0, 1.0, 0.0]], np.float32)
+    qcb = corners_bev(jnp.asarray(cb), jnp)
+    np.testing.assert_allclose(
+        float(_pair_intersection_area(qab[0], qcb[0])), 0.0, atol=1e-5)

@@ -76,6 +76,12 @@ def _make_mini_nuscenes(root):
             json.dump(rows, f)
     pts = np.random.default_rng(0).uniform(
         -20, 20, (300, 5)).astype(np.float32)
+    # plant a cluster inside the annotated box (lidar-frame gravity
+    # center (9.1, 2, -0.8)) so in-box point counts are testable
+    inbox = np.random.default_rng(1).uniform(
+        -0.3, 0.3, (20, 5)).astype(np.float32)
+    inbox[:, :3] += np.asarray([9.1, 2.0, -0.8], np.float32)
+    pts = np.concatenate([pts, inbox], 0)
     pts.tofile(root / 'samples/LIDAR_TOP/0.bin')
     pts.tofile(root / 'samples/LIDAR_TOP/1.bin')
 
@@ -93,8 +99,9 @@ def test_nuscenes_converter(tmp_path):
     inst = i0['instances'][0]
     box = np.asarray(inst['bbox_3d'])
     # ann global (110,52,1) − ego (100,50,0) − lidar mount (0.9,0,1.8):
-    # center (9.1, 2, -0.8); bbox stores bottom z = center - h/2
-    assert np.allclose(box[:3], [9.1, 2.0, -0.8 - 0.8], atol=1e-4)
+    # center (9.1, 2, -0.8); bbox stores GRAVITY z (reference v2 schema;
+    # the dataset applies the bottom shift at parse time)
+    assert np.allclose(box[:3], [9.1, 2.0, -0.8], atol=1e-4)
     # nuScenes size (w,l,h) → (dx=l, dy=w, dz=h)
     assert np.allclose(box[3:6], [4.5, 2.0, 1.6], atol=1e-5)
     # velocity ≈ (112-110)/0.5s = 4 m/s along x
@@ -112,6 +119,20 @@ def test_nuscenes_converter(tmp_path):
     s = ds[0]
     assert s['gt_bboxes_3d'].shape == (8, 9)
     assert s['gt_mask'].sum() == 1
+    # dataset parse applies exactly ONE gravity→bottom shift on
+    # own-converter pkls (advisor r2 high: double-shift regression)
+    gt0 = s['gt_bboxes_3d'][0]
+    assert np.allclose(gt0[2], -0.8 - 0.8, atol=1e-4)
+    # points_in_rbbox counts with the parsed box match the hand-derived
+    # bottom-centered box (catches any residual z offset end-to-end)
+    from tpu_bev3d.structures import points_in_rbbox
+    pts = np.fromfile(str(tmp_path / 'samples/LIDAR_TOP/0.bin'),
+                      np.float32).reshape(-1, 5)[:, :3]
+    manual = np.asarray(
+        [[9.1, 2.0, -1.6, 4.5, 2.0, 1.6, gt0[6]]], np.float32)
+    got = points_in_rbbox(pts, np.asarray(gt0[None, :7]))
+    want = points_in_rbbox(pts, manual)
+    assert (got == want).all() and want.sum() > 0
 
     # 2D annotations: the converter projects the instance into CAM_FRONT
     anns2d = i0['images']['CAM_FRONT'].get('instances_2d')

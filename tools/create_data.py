@@ -84,14 +84,26 @@ def create_kitti_infos(root, split='training', out_file=None):
 
 
 def create_gt_database(root, info_file, classes, out_dir=None,
-                       num_feats=4):
+                       num_feats=4, z_origin='auto'):
     """Crop per-GT points → <cls>_gt bin files + dbinfos pkl
-    (ref create_gt_database.py:111 — points_in_rbbox crops)."""
+    (ref create_gt_database.py:111 — points_in_rbbox crops).
+
+    ``z_origin``: 'bottom' (KITTI-schema pkls), 'gravity'
+    (nuScenes/Lyft-schema pkls, which store the devkit box center), or
+    'auto' — sniff from the pkl metainfo (nuScenes/Lyft converters write a
+    ``version`` field). The emitted dbinfos ``box3d_lidar`` is always
+    bottom-centered, matching what the dbsampler pastes at train time.
+    """
     from tpu_bev3d.structures.boxes3d import points_in_rbbox
     out_dir = out_dir or os.path.join(root, 'gt_database')
     os.makedirs(out_dir, exist_ok=True)
     with open(info_file, 'rb') as f:
-        infos = pickle.load(f)['data_list']
+        pkl = pickle.load(f)
+    infos = pkl['data_list']
+    if z_origin == 'auto':
+        z_origin = 'gravity' if str(
+            pkl.get('metainfo', {}).get('version', '')
+        ).startswith('v1.0') else 'bottom'
     db = {c: [] for c in classes}
     total = 0
     for info in infos:
@@ -102,6 +114,9 @@ def create_gt_database(root, info_file, classes, out_dir=None,
         if not instances:
             continue
         boxes = np.asarray([i['bbox_3d'] for i in instances], np.float32)
+        if z_origin == 'gravity':
+            boxes = boxes.copy()
+            boxes[:, 2] -= boxes[:, 5] * 0.5
         inside = points_in_rbbox(pts[:, :3], boxes)
         for gi, inst in enumerate(instances):
             name = inst['bbox_label_3d']
@@ -134,12 +149,16 @@ def main():
     p.add_argument('--info-file', default=None)
     p.add_argument('--classes', nargs='+',
                    default=['Pedestrian', 'Cyclist', 'Car'])
+    p.add_argument('--z-origin', default='auto',
+                   choices=['auto', 'bottom', 'gravity'])
     args = p.parse_args()
     if args.dataset == 'kitti':
         info = create_kitti_infos(args.root, args.split)
-        create_gt_database(args.root, info, args.classes)
+        create_gt_database(args.root, info, args.classes,
+                           z_origin=args.z_origin)
     elif args.dataset == 'gtdb':
-        create_gt_database(args.root, args.info_file, args.classes)
+        create_gt_database(args.root, args.info_file, args.classes,
+                           z_origin=args.z_origin)
 
 
 if __name__ == '__main__':

@@ -72,12 +72,15 @@ CLASSES = ['car', 'truck', 'construction_vehicle', 'bus', 'trailer',
 
 
 def _project_box_2d(bbox_3d, lidar2cam, cam2img, im_w, im_h):
-    """3D lidar box → clipped 2D xyxy + projected center + depth, or None
-    if not visible (ref nuscenes_converter.py get_2d_boxes:409-539 +
+    """3D lidar box (GRAVITY-centered z, like the stored pkl schema) →
+    clipped 2D xyxy + projected center + depth, or None if not visible
+    (ref nuscenes_converter.py get_2d_boxes:409-539 +
     post_process_coords:541-573 — corner hull intersected with the image
     canvas)."""
     from tpu_bev3d.structures.boxes3d import corners_lidar
-    corners = corners_lidar(np.asarray(bbox_3d, np.float32)[None])[0]
+    box = np.asarray(bbox_3d, np.float32).copy()
+    box[2] -= box[5] / 2          # corners_lidar wants bottom-centered z
+    corners = corners_lidar(box[None])[0]
     hom = np.concatenate([corners, np.ones((8, 1), np.float32)], -1)
     cam = hom @ np.asarray(lidar2cam, np.float32).T        # [8, 4]
     near = 0.1
@@ -108,7 +111,6 @@ def _project_box_2d(bbox_3d, lidar2cam, cam2img, im_w, im_h):
         return None
     # projected 3D center (gravity center) + its camera depth
     ctr = np.asarray(bbox_3d[:3], np.float32)
-    ctr[2] += bbox_3d[5] / 2
     c = np.asarray(lidar2cam, np.float32) @ np.append(ctr, 1.0)
     if c[2] <= 0.1:
         return None
@@ -234,9 +236,13 @@ def create_nuscenes_infos(root, version='v1.0-mini', out_file=None,
                     [vel[0], vel[1], 0.0])
             else:
                 vel_l = np.zeros(3)
+            # GRAVITY-centered z, matching the reference v2 pkl schema
+            # exactly (mmdet3d stores the devkit translation = box center;
+            # NuScenesDataset.parse_ann_info applies the -h/2 bottom shift
+            # at load time for every nuScenes-schema pkl, ours included).
             instances.append(dict(
                 bbox_3d=[float(ctr[0]), float(ctr[1]),
-                         float(ctr[2] - h / 2), float(l), float(w),
+                         float(ctr[2]), float(l), float(w),
                          float(h), float(yaw)],
                 bbox_label_3d=CLASSES_.index(det),
                 velocity=[float(vel_l[0]), float(vel_l[1])],

@@ -162,9 +162,12 @@ class LoadPointsFromMultiSweeps:
                                      np.float32)
                     p[:, :3] = p[:, :3] @ mat[:3, :3].T + mat[:3, 3]
                 dt = float(ts - sw.get('timestamp', ts))
-                # ref v2 pkls store seconds (loading.py:440-441 "divided
-                # 1e6 in pkl infos"); ours store raw devkit µs
-                dt = dt * 1e-6 if abs(dt) > 100 else dt
+                # Unit is keyed off the pkl schema, not magnitude-sniffed:
+                # our converter's schema (sensor2lidar_rotation key) stores
+                # raw devkit µs; ref v2 pkls store seconds (ref
+                # loading.py:440-441 "divided 1e6 in pkl infos").
+                if 'sensor2lidar_rotation' in sw:
+                    dt = dt * 1e-6
                 dtc = np.full((len(p), 1), dt, np.float32)
                 out.append(np.concatenate(
                     [p[:, :pts.shape[1] - 1], dtc], -1))

@@ -86,17 +86,22 @@ def _pair_intersection_area_hullsort(q1, q2):
     return _convex_area(cand, valid)
 
 
-def _edge_clip_contrib(a, d, sgn_self, qa, eq, sgn_other, par_tol):
+def _edge_clip_contrib(a, d, sgn_self, qa, eq, sgn_other,
+                       drop_on_boundary):
     """Shoelace contribution of one directed edge p(t)=a+t·d (t∈[0,1]),
     Cyrus–Beck clipped to the inside of the other quad's 4 half-planes.
 
     qa [4,2] other-quad edge origins; eq [4,2] other-quad edge vectors;
-    sgn_other orients "inside = left/right of edge". par_tol sets the
-    parallel-edge boundary rule: −tol keeps on-boundary segments, +tol
-    drops them (the two passes use opposite rules so coincident edges of
-    the two quads are counted exactly once). Returns the origin-based
-    shoelace term ½·cross(p(t0), p(t1)) of the surviving sub-segment,
-    oriented by sgn_self (0 if empty)."""
+    sgn_other orients "inside = left/right of edge". Parallel-edge
+    boundary rule: a segment coincident with an other-quad edge line is
+    kept in pass A (drop_on_boundary=False) and dropped in pass B (True)
+    so SAME-direction coincident edges are counted exactly once; when the
+    coincident edges run in OPPOSITE CCW directions the quads lie on
+    opposite sides of the line (abutting boxes — degenerate intersection),
+    so the segment is dropped in BOTH passes (advisor r2: abutting unit
+    squares previously reported IoU 0.33 instead of 0). Returns the
+    origin-based shoelace term ½·cross(p(t0), p(t1)) of the surviving
+    sub-segment, oriented by sgn_self (0 if empty)."""
     # f_k(t) = sgn_other·cross(eq_k, a + t·d − qa_k) = alpha_k + t·beta_k
     rel = a[None, :] - qa                                   # [4,2]
     alpha = sgn_other * (eq[:, 0] * rel[:, 1] - eq[:, 1] * rel[:, 0])
@@ -107,7 +112,16 @@ def _edge_clip_contrib(a, d, sgn_self, qa, eq, sgn_other, par_tol):
                  initial=0.0)
     t1 = jnp.min(jnp.where(~para & (beta < 0), tcross, 1.0),
                  initial=1.0)
-    empty = jnp.any(para & (alpha < par_tol)) | (t0 >= t1)
+    tol = 1e-6
+    outside = para & (alpha < -tol)
+    on_bnd = para & (jnp.abs(alpha) <= tol)
+    # CCW traversal direction of this edge is sgn_self·d, of the other
+    # quad's edge k is sgn_other·eq_k
+    same_dir = (sgn_self * sgn_other) \
+        * (d[0] * eq[:, 0] + d[1] * eq[:, 1]) > 0
+    empty = jnp.any(outside
+                    | (on_bnd & (~same_dir | drop_on_boundary))) \
+        | (t0 >= t1)
     p0 = a + t0 * d
     p1 = a + t1 * d
     term = 0.5 * (p0[0] * p1[1] - p1[0] * p0[1])
@@ -134,11 +148,12 @@ def _pair_intersection_area(q1, q2):
     # edges of A clipped to inside-B (traversal orientation s1), and
     # edges of B clipped to inside-A (orientation s2); with both
     # oriented CCW the signed sum is +area
-    tol = 1e-6
     contrib_a = jax.vmap(
-        lambda a, d: _edge_clip_contrib(a, d, s1, q2, e2, s2, -tol))(q1, e1)
+        lambda a, d: _edge_clip_contrib(a, d, s1, q2, e2, s2,
+                                        False))(q1, e1)
     contrib_b = jax.vmap(
-        lambda a, d: _edge_clip_contrib(a, d, s2, q1, e1, s1, tol))(q2, e2)
+        lambda a, d: _edge_clip_contrib(a, d, s2, q1, e1, s1,
+                                        True))(q2, e2)
     return jnp.maximum(jnp.sum(contrib_a) + jnp.sum(contrib_b), 0.0)
 
 
