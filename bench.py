@@ -56,18 +56,35 @@ def main():
     # per frame (the reference's per-iter torch.cuda.synchronize costs
     # microseconds on a local GPU — paying a remote tunnel round trip per
     # frame would measure the tunnel, not the chip).
-    t0 = time.perf_counter()
-    outs = [jfn(variables, batches[i]) for i in range(n_iter)]
-    for o in outs:
-        jax.block_until_ready(o)
-    dt = time.perf_counter() - t0
+    #
+    # The protocol itself is repeated: a single shot is fragile on a
+    # 1-CPU host (BENCH_r02 run 2 recorded 26.65 fps, 17% below the idle
+    # band, from background noise alone). Median of n_rep runs + spread
+    # in the JSON so one poisoned run can't become the round's number.
     bsz = batch['points'].shape[0]
-    fps = n_iter * bsz / dt
+    n_rep = 5
+    fps_runs = []
+    for _ in range(n_rep):
+        t0 = time.perf_counter()
+        outs = [jfn(variables, batches[i]) for i in range(n_iter)]
+        for o in outs:
+            jax.block_until_ready(o)
+        dt = time.perf_counter() - t0
+        fps_runs.append(n_iter * bsz / dt)
+    fps_runs.sort()
+    fps = fps_runs[n_rep // 2]
+    spread = (fps_runs[-1] - fps_runs[0]) / fps
+    if spread > 0.15:
+        print(f'# WARN: run spread {spread:.1%} exceeds the 15% idle '
+              f'band — host contention suspected; runs: '
+              f'{[round(f, 1) for f in fps_runs]}', file=sys.stderr)
     print(json.dumps({
         'metric': 'bevfusion_lc_inference_fps_per_chip',
         'value': round(fps, 3),
         'unit': 'frames/sec/chip',
         'vs_baseline': round(fps / BASELINE_FPS, 3),
+        'runs': [round(f, 2) for f in fps_runs],
+        'spread_pct': round(100 * spread, 1),
     }))
 
 

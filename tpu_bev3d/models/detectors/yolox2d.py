@@ -27,6 +27,8 @@ class YOLOX2DDetector(nn.Module):
     neck: Any = None
     bbox_head: Any = None
     num_pred: int = 100      # predict-mode top-k detections
+    score_thr: float = 0.01  # predict-mode validity threshold (ref
+    #                          configs/nuimages score_thr=0.05/0.01)
 
     def setup(self):
         self._backbone = MODELS.build(dict(self.backbone))
@@ -57,5 +59,5 @@ class YOLOX2DDetector(nn.Module):
             boxes = jnp.take_along_axis(outs['bboxes'], idx[..., None], 1)
             labs = jnp.take_along_axis(labels, idx, 1)
             return dict(bboxes=boxes, scores=top, labels=labs,
-                        mask=top > 0.0)
+                        mask=top > self.score_thr)
         raise ValueError(mode)
