@@ -17,6 +17,13 @@ def main():
     p.add_argument('--batch-size', type=int, default=1)
     p.add_argument('--warmup', type=int, default=10)
     p.add_argument('--iters', type=int, default=50)
+    p.add_argument('--points-dist', default='lidar',
+                   choices=['lidar', 'uniform'],
+                   help='point generator: "lidar" = surface-clustered '
+                        'simulated scan (representative of real frames, '
+                        'the default); "uniform" = uniform random (the '
+                        'legacy protocol; pathological for sparsity-'
+                        'exploiting backends)')
     args = p.parse_args()
 
     import jax
@@ -49,7 +56,8 @@ def main():
             rng=__import__('numpy').random.default_rng(i),
             batch_size=args.batch_size, num_points=args.num_points,
             point_dim=pdim,
-            pc_range=tuple(cfg.model.point_cloud_range))
+            pc_range=tuple(cfg.model.point_cloud_range),
+            distribution=args.points_dist)
         batches.append({k: jnp.asarray(v) for k, v in b.items()})
     variables = jax.jit(lambda r, b: model.init(r, b, mode='tensor'))(
         jax.random.PRNGKey(0), batches[0])

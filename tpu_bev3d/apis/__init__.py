@@ -1,4 +1,5 @@
-from .inference import (init_model, inference_detector,
+from .inference import (camera_param_stack, init_model,
+                        inference_detector,
                         inference_mono_3d_detector,
                         inference_multi_modality_detector,
                         inference_segmentor)
@@ -7,7 +8,8 @@ from .inferencers import (Base3DInferencer, LidarDet3DInferencer,
                           MultiModalityDet3DInferencer,
                           LidarSeg3DInferencer)
 
-__all__ = ['init_model', 'inference_detector',
+__all__ = ['camera_param_stack', 'init_model',
+           'inference_detector',
            'inference_mono_3d_detector',
            'inference_multi_modality_detector', 'inference_segmentor',
            'Base3DInferencer', 'LidarDet3DInferencer',

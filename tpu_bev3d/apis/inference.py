@@ -71,6 +71,39 @@ def init_model(config: Union[str, Config],
     return InferenceModel(cfg, model, variables)
 
 
+def camera_param_stack(sample: dict, cams: Optional[Sequence[str]] = None,
+                       image_hw=None) -> dict:
+    """Assemble the model's camera-batch calibration dict from one
+    v2-schema infos sample (``sample['images'][CAM]`` blocks with
+    cam2img/lidar2cam, ref loading.py:14 BEVLoadMultiViewImageFromFiles).
+
+    Returns cam2lidar/intrins/post_rots/post_trans/lidar2img stacks
+    (identity post transforms — callers that resize images should fold
+    their own aug matrix in).
+    """
+    images = sample['images']
+    cams = list(cams or images.keys())
+    c2i, l2c = [], []
+    for cam in cams:
+        ci = images[cam]
+        k = np.eye(4, dtype=np.float32)
+        cam2img = np.asarray(ci.get('cam2img', np.eye(3)), np.float32)
+        k[:cam2img.shape[0], :cam2img.shape[1]] = cam2img
+        c2i.append(k[:3, :3])
+        l2c.append(np.asarray(ci.get('lidar2cam', np.eye(4)), np.float32))
+    c2i = np.stack(c2i)
+    l2c = np.stack(l2c)
+    k4 = np.tile(np.eye(4, dtype=np.float32), (len(cams), 1, 1))
+    k4[:, :3, :3] = c2i
+    n = len(cams)
+    return dict(
+        cam2lidar=np.linalg.inv(l2c).astype(np.float32),
+        intrins=c2i,
+        post_rots=np.tile(np.eye(3, dtype=np.float32), (n, 1, 1)),
+        post_trans=np.zeros((n, 3), np.float32),
+        lidar2img=(k4 @ l2c).astype(np.float32))
+
+
 def inference_detector(model: InferenceModel,
                        pcds: Union[str, np.ndarray, Sequence]) -> list:
     """Run 3D detection on point cloud(s) — path(s) to .bin or ndarray(s).

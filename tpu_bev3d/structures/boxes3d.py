@@ -60,6 +60,30 @@ def corners_lidar(boxes, xp=np, origin=(0.5, 0.5, 0.0)):
     return corners + boxes[..., None, :3]
 
 
+def corners_camera(boxes, xp=np, origin=(0.5, 1.0, 0.5)):
+    """[N,7]->[N,8,3] corners of CAMERA-frame boxes (x right, y down,
+    z forward; yaw around -y; origin = bottom center, the mmdet3d
+    CameraInstance3DBoxes convention, ref cam_box3d.py:95-141)."""
+    dims = boxes[..., 3:6]
+    unit = xp.asarray([
+        [0, 0, 0], [0, 0, 1], [0, 1, 1], [0, 1, 0],
+        [1, 0, 0], [1, 0, 1], [1, 1, 1], [1, 1, 0],
+    ], dtype=boxes.dtype) - xp.asarray(origin, dtype=boxes.dtype)
+    corners = unit[None] * dims[..., None, :]                # [N,8,3]
+    yaw = boxes[..., 6]
+    c, s = xp.cos(yaw), xp.sin(yaw)
+    z = xp.zeros_like(c)
+    o = xp.ones_like(c)
+    # rotation about the (downward) y axis: ref rotation_3d_in_axis axis=1
+    rot = xp.stack([
+        xp.stack([c, z, s], -1),
+        xp.stack([z, o, z], -1),
+        xp.stack([-s, z, c], -1),
+    ], -2)
+    corners = xp.einsum('nij,nkj->nki', rot, corners)
+    return corners + boxes[..., None, :3]
+
+
 def corners_bev(boxes, xp=np):
     """[N,7+]->[N,4,2] BEV (x,y) corners of rotated boxes."""
     x, y = boxes[..., 0], boxes[..., 1]

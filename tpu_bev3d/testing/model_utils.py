@@ -11,16 +11,63 @@ import numpy as np
 from ..registry import MODELS
 
 
+def lidar_scan_points(rng, num_points, pc_range, ground_z=-1.73,
+                      num_obstacles=40):
+    """Surface-clustered points from a simulated 64-beam spinning lidar
+    (ground-plane returns + random vertical obstacles).
+
+    Uniform-random points are NOT representative of lidar: real returns
+    cluster on surfaces, which is what gives sparse voxel grids their
+    tile/occupancy structure. Benchmarks of sparsity-exploiting code paths
+    must use this (or real frames), not the uniform generator.
+    """
+    lo = np.asarray(pc_range[:3], np.float64)
+    hi = np.asarray(pc_range[3:], np.float64)
+    front_only = lo[0] >= -1e-6
+    elev = np.deg2rad(np.linspace(-24.9, 2.0, 64))
+    az_lim = np.pi / 4 + 0.2 if front_only else np.pi
+    azim = rng.uniform(-az_lim, az_lim, 2048)
+    E, A = np.meshgrid(elev, azim, indexing='ij')
+    h = -ground_z
+    with np.errstate(divide='ignore'):
+        r = np.where(np.sin(E) < -1e-3, h / -np.sin(E), 120.0)
+    for _ in range(num_obstacles):
+        az0 = rng.uniform(-az_lim, az_lim)
+        width = rng.uniform(0.02, 0.12)
+        dist = rng.uniform(4, 0.8 * float(hi[0] - lo[0]))
+        hgt = rng.uniform(0.5, 2.5)
+        hit = (np.abs(A - az0) < width) \
+            & ((np.tan(E) * dist + h) < hgt) & (r > dist)
+        r = np.where(hit, dist, r)
+    r = r * (1 + rng.normal(0, 0.005, r.shape))
+    x = r * np.cos(E) * np.cos(A)
+    y = r * np.cos(E) * np.sin(A)
+    z = h * 0 + ground_z + h + r * np.sin(E)
+    pts = np.stack([x, y, z], -1).reshape(-1, 3)
+    inb = ((pts >= lo) & (pts < hi - 1e-4)).all(1)
+    pts = pts[inb]
+    if len(pts) == 0:                       # degenerate range: fall back
+        return rng.uniform(lo, hi, (num_points, 3)).astype(np.float32)
+    sel = rng.integers(0, len(pts), num_points)
+    return pts[sel].astype(np.float32)
+
+
 def create_detector_inputs(rng=None, batch_size=1, num_points=512,
                            point_dim=4, num_gt=8, num_classes=3,
                            pc_range=(0, -40, -3, 70.4, 40, 1),
-                           with_velocity=False):
-    """Fixed-shape synthetic batch: points uniform in pc_range, GT boxes with
-    plausible dims. Returns dict of numpy arrays."""
+                           with_velocity=False, distribution='uniform'):
+    """Fixed-shape synthetic batch: points uniform in pc_range (or
+    surface-clustered with distribution='lidar'), GT boxes with plausible
+    dims. Returns dict of numpy arrays."""
     rng = rng or np.random.default_rng(0)
     lo = np.asarray(pc_range[:3])
     hi = np.asarray(pc_range[3:])
-    pts = rng.uniform(lo, hi, (batch_size, num_points, 3)).astype(np.float32)
+    if distribution == 'lidar':
+        pts = np.stack([lidar_scan_points(rng, num_points, pc_range)
+                        for _ in range(batch_size)])
+    else:
+        pts = rng.uniform(lo, hi,
+                          (batch_size, num_points, 3)).astype(np.float32)
     extra = rng.uniform(0, 1, (batch_size, num_points, point_dim - 3)
                         ).astype(np.float32)
     points = np.concatenate([pts, extra], -1)

@@ -66,8 +66,13 @@ class Det3DVisualizer:
 
     def draw_proj_bboxes_on_image(self, img: np.ndarray, bboxes: np.ndarray,
                                   lidar2img: np.ndarray,
-                                  out_file: str = 'proj.png'):
-        """Project 3D boxes onto an image (ref draw_proj_bboxes_3d:480)."""
+                                  out_file: str = 'proj.png',
+                                  box_frame: str = 'lidar'):
+        """Project 3D boxes onto an image (ref draw_proj_bboxes_3d:480).
+
+        box_frame='camera': boxes are camera-frame 7-DoF (mono heads) and
+        ``lidar2img`` is then just cam2img as a [3,4] (or [4,4]) matrix.
+        """
         import matplotlib
         matplotlib.use('Agg')
         import matplotlib.pyplot as plt
@@ -75,7 +80,8 @@ class Det3DVisualizer:
         fig, ax = plt.subplots(figsize=(12, 5))
         ax.imshow(np.clip(img, 0, 1) if img.dtype.kind == 'f' else img)
         H, W = img.shape[:2]
-        corners = B.corners_lidar(np.asarray(bboxes, np.float32))  # [N,8,3]
+        cfun = B.corners_camera if box_frame == 'camera' else B.corners_lidar
+        corners = cfun(np.asarray(bboxes, np.float32))         # [N,8,3]
         edges = [(0, 1), (1, 2), (2, 3), (3, 0), (4, 5), (5, 6), (6, 7),
                  (7, 4), (0, 4), (1, 5), (2, 6), (3, 7)]
         for c in corners:
