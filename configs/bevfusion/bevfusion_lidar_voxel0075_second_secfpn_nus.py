@@ -24,7 +24,16 @@ model = dict(
                           (128, 128)),
         encoder_paddings=((0, 0, 1), (0, 0, 1), (0, 0, (0, 1, 1)), (0, 0)),
         conv_out_kernel=(3, 1, 1),
-        conv_out_stride=(2, 1, 1)),
+        conv_out_stride=(2, 1, 1),
+        # block-sparse tile backend, exact spconv active-set rule
+        # (ops/tile_sparse.py) — the TPU performance class for the
+        # reference-faithful sparse encoder
+        backend='tile',
+        tile_shape=(2, 4, 4),
+        tile_capacity=20480,
+        tile_stage_factor=0.5,
+        tile_dtype='bfloat16',
+        active_rule='spconv'),
     backbone=dict(
         type='SECOND',
         in_channels=256,

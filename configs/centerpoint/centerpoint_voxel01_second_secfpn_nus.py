@@ -23,6 +23,15 @@ model = dict(
         encoder_channels=((16, 16, 32), (32, 32, 64), (64, 64, 128),
                           (128, 128)),
         encoder_paddings=((0, 0, 1), (0, 0, 1), (0, 0, (0, 1, 1)), (0, 0)),
+        # block-sparse tile backend, exact spconv active-set rule — also
+        # sidesteps the r2 known issue (flat sparse graph inside lax.scan
+        # faulted the remote TPU worker)
+        backend='tile',
+        tile_shape=(2, 4, 4),
+        tile_capacity=16384,
+        tile_stage_factor=0.5,
+        tile_dtype='bfloat16',
+        active_rule='spconv',
         conv_out_kernel=(3, 1, 1),
         conv_out_stride=(2, 1, 1)),
     backbone=dict(

@@ -20,7 +20,16 @@ model = dict(
         encoder_channels=((16,), (32, 32, 32), (64, 64, 64), (64, 64, 64)),
         encoder_paddings=((1,), (1, 1, 1), (1, 1, 1), ((0, 1, 1), 1, 1)),
         conv_out_kernel=(3, 1, 1),
-        conv_out_stride=(2, 1, 1)),
+        conv_out_stride=(2, 1, 1),
+        # block-sparse tile backend with the EXACT spconv active-set rule
+        # (more faithful than the flat backend's floor rule, and the TPU
+        # performance class; ops/tile_sparse.py)
+        backend='tile',
+        tile_shape=(2, 4, 4),
+        tile_capacity=8192,
+        tile_stage_factor=0.5,
+        tile_dtype='bfloat16',
+        active_rule='spconv'),
     backbone=dict(
         type='SECOND',
         in_channels=256,

@@ -21,6 +21,9 @@ from flax import linen as nn
 
 from ...ops.sparse_conv import (SparseTensor, build_subm_rulebook,
                                 sparse_conv3d, subm_conv3d)
+from ...ops.tile_sparse import (TileTensor, sparse_conv3d_tile,
+                                subm_conv3d_tile, tile_dense,
+                                tiles_from_sparse)
 from ...registry import MODELS
 from ..layers.common import MaskedBatchNorm
 
@@ -35,10 +38,12 @@ class SparseConvLayer(nn.Module):
     out_capacity: Optional[int] = None
     use_bn: bool = True
     act: bool = True
+    active_rule: str = 'floor'   # strided active-set rule (tile backend)
+    compute_dtype: str = ''      # e.g. 'bfloat16' — tile-backend GEMM dtype
 
     @nn.compact
-    def __call__(self, st: SparseTensor, train: bool = False,
-                 rulebook=None) -> SparseTensor:
+    def __call__(self, st, train: bool = False,
+                 rulebook=None):
         cin = st.features.shape[-1]
         k = int(np.prod(np.broadcast_to(np.asarray(self.kernel_size), (3,))))
         fan_in = cin * k
@@ -46,6 +51,31 @@ class SparseConvLayer(nn.Module):
                        nn.initializers.variance_scaling(1.0, 'fan_in',
                                                         'uniform'),
                        (k, cin, self.out_channels))
+        if isinstance(st, TileTensor):
+            # block-sparse backend — same params, tile-granular compute
+            cdt = jnp.dtype(self.compute_dtype) if self.compute_dtype \
+                else None
+            if self.subm:
+                out = subm_conv3d_tile(st, w,
+                                       kernel_size=self.kernel_size,
+                                       compute_dtype=cdt)
+            else:
+                out = sparse_conv3d_tile(
+                    st, w, kernel_size=self.kernel_size,
+                    stride=self.stride, padding=self.padding,
+                    out_capacity=self.out_capacity,
+                    rule=self.active_rule, compute_dtype=cdt)
+            f = out.features
+            mflat = out.mask.reshape(-1)
+            fflat = f.reshape(-1, f.shape[-1])
+            if self.use_bn:
+                fflat = MaskedBatchNorm()(fflat, mflat, train=train)
+            if self.act:
+                fflat = nn.relu(fflat)
+            fflat = jnp.where(mflat[:, None], fflat, 0.0)
+            return TileTensor(fflat.reshape(f.shape), out.mask,
+                              out.tile_coords, out.nb_idx,
+                              out.spatial_shape, out.batch_size)
         if self.subm:
             out = subm_conv3d(st, w, kernel_size=self.kernel_size,
                               rulebook=rulebook)
@@ -82,6 +112,12 @@ class SparseEncoder(nn.Module):
     xy_order: bool = False  # BEVFusion variant emits [B, x, y, C]
     conv_out_stride: Tuple[int, int, int] = (2, 1, 1)
     return_middle_feats: bool = False  # also return per-stage tensors (PV-RCNN)
+    backend: str = 'flat'        # 'flat' gather-GEMM | 'tile' block-sparse
+    tile_shape: Tuple[int, int, int] = (2, 4, 4)
+    tile_capacity: int = 4096    # active tiles PER SAMPLE ('tile' backend)
+    tile_stage_factor: float = 0.5   # tile-capacity shrink per downsample
+    tile_dtype: str = ''         # tile GEMM compute dtype (e.g. 'bfloat16')
+    active_rule: str = 'floor'   # 'spconv' = exact receptive-field rule
 
     @nn.compact
     def __call__(self, voxel_features, coors, batch_size: int,
@@ -90,12 +126,18 @@ class SparseEncoder(nn.Module):
         BEV features [B, H', W', C*D'] (NHWC)."""
         st = SparseTensor(voxel_features, coors, tuple(self.sparse_shape),
                           batch_size)
-        # SubM convs on the same coord table share one neighbor rulebook —
-        # compute it once per stage instead of per conv
-        rb = build_subm_rulebook(st, 3)
+        if self.backend == 'tile':
+            cap = self.tile_capacity * batch_size
+            st = tiles_from_sparse(st, self.tile_shape, cap)
+            rb = None
+        else:
+            # SubM convs on the same coord table share one neighbor
+            # rulebook — compute it once per stage instead of per conv
+            rb = build_subm_rulebook(st, 3)
+            cap = voxel_features.shape[0]
         st = SparseConvLayer(self.base_channels, 3, subm=True,
+                             compute_dtype=self.tile_dtype,
                              name='conv_input')(st, train, rulebook=rb)
-        cap = voxel_features.shape[0]
         n_stages = len(self.encoder_channels)
         encode_features = []
         for i, stage in enumerate(self.encoder_channels):
@@ -105,22 +147,31 @@ class SparseEncoder(nn.Module):
                 # stage (ref SparseEncoder.make_encoder_layers,
                 # sparse_encoder.py:176-243)
                 if j == len(stage) - 1 and i != n_stages - 1:
-                    cap = max(int(cap * self.stage_capacity_factor), 1)
+                    if self.backend == 'tile':
+                        cap = max(-(-int(cap * self.tile_stage_factor)
+                                    // 8) * 8, 8)
+                    else:
+                        cap = max(int(cap * self.stage_capacity_factor), 1)
                     st = SparseConvLayer(
                         ch, 3, stride=2, padding=pad, subm=False,
-                        out_capacity=cap,
+                        out_capacity=cap, active_rule=self.active_rule,
+                        compute_dtype=self.tile_dtype,
                         name=f'encoder_{i}_{j}')(st, train)
-                    rb = build_subm_rulebook(st, 3)
+                    if self.backend != 'tile':
+                        rb = build_subm_rulebook(st, 3)
                 else:
                     st = SparseConvLayer(
                         ch, 3, subm=True,
+                        compute_dtype=self.tile_dtype,
                         name=f'encoder_{i}_{j}')(st, train, rulebook=rb)
             encode_features.append(st)
         st = SparseConvLayer(self.output_channels,
                              self.conv_out_kernel, self.conv_out_stride,
                              padding=0, subm=False, out_capacity=cap,
+                             active_rule=self.active_rule,
+                             compute_dtype=self.tile_dtype,
                              name='conv_out')(st, train)
-        dense = st.dense()                       # [B, C, D, H, W]
+        dense = tile_dense(st) if self.backend == 'tile' else st.dense()
         B, C, D, H, W = dense.shape
         out = dense.reshape(B, C * D, H, W)
         if self.xy_order:

@@ -20,6 +20,14 @@ This backend trades bounded overcompute for tile-granular memory movement:
 - Downsampling re-tiles: stride-s output regions of s³ parent tiles merge
   into one output tile by a tile-granular scatter.
 
+All slot bookkeeping runs on DENSE TILE-GRID MAPS, not sorts: the tile
+grid is small (≤ ~7·10⁵ cells at stage 1, shrinking 4-8x per stage), so a
+boolean occupancy grid + one cumsum assigns compact, linear-id-ordered
+slots, and every lookup (neighbor table, dilation, re-tile destination) is
+a single dense gather. v5e probe: the original argsort/searchsorted
+machinery put the strided conv at 56 ms/op; the grid-map version removes
+all of it from the critical path.
+
 Active-site semantics (ref spconv, projects/SparseConvolution/
 sparse_functional.py:19,169 and sparse_conv.py:160-262):
 - ``subm``: output sites == input sites (SubMConv3d).
@@ -42,6 +50,7 @@ from typing import Optional, Tuple
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax import lax
 
 __all__ = [
     'TileTensor', 'tiles_from_sparse', 'tiles_to_sparse', 'tile_dense',
@@ -90,26 +99,63 @@ def _tile_lin(coords, grid, batch_size, valid):
     return jnp.where(valid, lin, BIG), BIG
 
 
-def _neighbor_table(tile_coords, grid, batch_size):
-    """[27, T] slot index of each tile's 27 neighbors (T = absent).
+def _slot_lookup(tile_coords, grid, batch_size):
+    """Dense lin→slot map [B·G + 1] for an EXISTING table (T = absent).
 
-    tile_coords must be sorted by linear tile id (tiles_from_sparse
-    guarantees it), so lookup is a searchsorted — 27 scalar-cheap passes
-    over a ~1k-row table, NOT per-voxel work.
+    One T-row scatter; the sentinel row (index B·G, where invalid linear
+    ids land) stays T.
     """
     T = tile_coords.shape[0]
     valid = tile_coords[:, 0] >= 0
-    lin, BIG = _tile_lin(tile_coords, grid, batch_size, valid)
+    n = batch_size * int(np.prod(grid))
+    lin, _ = _tile_lin(tile_coords, grid, batch_size, valid)
+    idx = jnp.where(valid, lin, n + 1)          # out of bounds → dropped
+    smap = jnp.full((n + 1,), T, jnp.int32)
+    return smap.at[idx].set(jnp.arange(T, dtype=jnp.int32), mode='drop')
+
+
+def _table_from_occ(occ, grid, batch_size, capacity):
+    """Occupancy grid [B·G] bool → (tile_coords [cap,4], slot map [B·G+1]).
+
+    Slots are assigned in linear-id order by a cumsum over the grid (the
+    same order the old argsort produced); tiles beyond ``capacity`` drop
+    (lowest linear ids survive). The slot map's sentinel row (index B·G)
+    holds ``capacity`` so invalid lookups read as absent.
+    """
+    G = int(np.prod(grid))
+    n = batch_size * G
+    gz, gy, gx = grid
+    slot = jnp.cumsum(occ.astype(jnp.int32)) - 1
+    slot = jnp.where(occ & (slot < capacity), slot, capacity)
+    g = jnp.arange(n, dtype=jnp.int32)
+    b = g // G
+    r = g % G
+    coords = jnp.stack([b, r // (gy * gx), (r // gx) % gy, r % gx], -1)
+    table = jnp.full((capacity + 1, 4), -1, jnp.int32)
+    table = table.at[slot].set(coords, mode='drop')[:capacity]
+    smap = jnp.concatenate(
+        [slot, jnp.full((1,), capacity, jnp.int32)])
+    return table, smap
+
+
+def _neighbor_table(tile_coords, grid, batch_size, smap=None):
+    """[27, T] slot index of each tile's 27 neighbors (T = absent).
+
+    Dense grid-map lookup: one [27·T] gather off the slot map — no sorts.
+    """
+    T = tile_coords.shape[0]
+    valid = tile_coords[:, 0] >= 0
+    if smap is None:
+        smap = _slot_lookup(tile_coords, grid, batch_size)
     gzyx = jnp.asarray(grid, jnp.int32)
 
     def per_dir(d):
         q_sp = tile_coords[:, 1:] + d
         ok = valid & jnp.all((q_sp >= 0) & (q_sp < gzyx), -1)
         q = jnp.concatenate([tile_coords[:, :1], q_sp], -1)
-        qlin, _ = _tile_lin(q, grid, batch_size, ok)
-        pos = jnp.clip(jnp.searchsorted(lin, qlin), 0, T - 1)
-        found = ok & (lin[pos] == qlin)
-        return jnp.where(found, pos, T).astype(jnp.int32)
+        qlin, BIG = _tile_lin(q, grid, batch_size, ok)
+        nb = smap[qlin]
+        return jnp.minimum(nb, T).astype(jnp.int32)
 
     return jax.vmap(per_dir)(jnp.asarray(_DIRS, jnp.int32))
 
@@ -117,7 +163,7 @@ def _neighbor_table(tile_coords, grid, batch_size):
 def tiles_from_sparse(st, tile_shape=(4, 8, 8), capacity: int = 1024):
     """SparseTensor (ops/sparse_conv.py) → TileTensor.
 
-    One argsort of the N voxel rows by tile id + a tile-granular scatter.
+    Occupancy-grid slot assignment (no argsort) + a tile-granular scatter.
     Tiles beyond ``capacity`` are dropped (first-come in linear-id order),
     mirroring the voxelizer's overflow contract.
     """
@@ -132,20 +178,14 @@ def tiles_from_sparse(st, tile_shape=(4, 8, 8), capacity: int = 1024):
     cell = jnp.where(valid[:, None], coords[:, 1:] % tdiv, 0)
     lin, BIG = _tile_lin(tcoord, grid, st.batch_size, valid)
 
-    order = jnp.argsort(lin)
-    lin_s = lin[order]
-    new_seg = (lin_s < BIG) & jnp.concatenate(
-        [jnp.ones((1,), bool), lin_s[1:] != lin_s[:-1]])
-    slot_s = jnp.cumsum(new_seg.astype(jnp.int32)) - 1     # per sorted voxel
-    # tile table (sorted by construction)
-    tile_coords = jnp.full((capacity, 4), -1, jnp.int32)
-    ci = jnp.where(new_seg & (slot_s < capacity), slot_s, capacity)
-    tile_coords = tile_coords.at[ci].set(tcoord[order], mode='drop')
+    n = st.batch_size * int(np.prod(grid))
+    occ = jnp.zeros((n,), bool).at[lin].set(valid, mode='drop')
+    tile_coords, smap = _table_from_occ(occ, grid, st.batch_size, capacity)
 
     # voxel → (slot, cell) scatter
     C = st.features.shape[1]
     S = tz * ty * tx
-    slot = jnp.zeros((coords.shape[0],), jnp.int32).at[order].set(slot_s)
+    slot = smap[lin]                          # capacity where dropped
     cell_lin = cell[:, 0] * (ty * tx) + cell[:, 1] * tx + cell[:, 2]
     flat_idx = jnp.where(valid & (slot < capacity),
                          slot * S + cell_lin, capacity * S)
@@ -156,7 +196,9 @@ def tiles_from_sparse(st, tile_shape=(4, 8, 8), capacity: int = 1024):
     return TileTensor(
         feats[:-1].reshape(capacity, tz, ty, tx, C),
         mask[:-1].reshape(capacity, tz, ty, tx),
-        tile_coords, _neighbor_table(tile_coords, grid, st.batch_size),
+        tile_coords,
+        _neighbor_table(tile_coords, grid, st.batch_size,
+                        jnp.minimum(smap, capacity)),
         (nz, ny, nx), st.batch_size)
 
 
@@ -214,42 +256,50 @@ def tile_dense(tt: TileTensor):
 def _build_halo(x, nb_idx, h):
     """x [T, tz, ty, tx, ...] → haloed [T, tz+2hz, ty+2hy, tx+2hx, ...].
 
-    One gather per nonzero direction, PRE-SLICED to the face/edge/corner
-    actually needed so traffic ≈ 2x the halo shell, not 27x the table.
+    Concat-assembled: the halo is built as a nested z/y/x concatenation of
+    the center tile and 26 pre-sliced neighbor faces/edges/corners, so
+    every byte is written exactly once (the old scatter assembly re-copied
+    the halo buffer per direction). Traffic ≈ 2× the halo volume.
     """
-    T = x.shape[0]
     tz, ty, tx = x.shape[1:4]
     hz, hy, hx = h
-    trail = x.shape[4:]
-    halo = jnp.zeros((T, tz + 2 * hz, ty + 2 * hy, tx + 2 * hx) + trail,
-                     x.dtype)
-    halo = halo.at[:, hz:hz + tz, hy:hy + ty, hx:hx + tx].set(x)
     if hz == hy == hx == 0:
-        return halo
+        return x
     zero_row = jnp.zeros((1,) + x.shape[1:], x.dtype)
-    xp = jnp.concatenate([x, zero_row], 0)
+    xp_ = jnp.concatenate([x, zero_row], 0)
+    dir_index = {tuple(d): i for i, d in enumerate(_DIRS)}
 
     def sel(d, t, hh):      # source slice in the neighbor tile
         if d == 0:
             return slice(0, t)
         return slice(0, hh) if d > 0 else slice(t - hh, t)
 
-    def dst(d, t, hh):      # destination slice in our halo
-        if d == 0:
-            return slice(hh, hh + t)
-        return slice(hh + t, hh + t + hh) if d > 0 else slice(0, hh)
-
-    for di, (dz, dy, dx) in enumerate(_DIRS):
-        if (dz, dy, dx) == (0, 0, 0):
+    z_parts = []
+    for dz in (-1, 0, 1):
+        if dz != 0 and hz == 0:
             continue
-        if (dz != 0 and hz == 0) or (dy != 0 and hy == 0) \
-                or (dx != 0 and hx == 0):
-            continue
-        src = xp[:, sel(dz, tz, hz), sel(dy, ty, hy), sel(dx, tx, hx)]
-        nb = jnp.take(src, nb_idx[di], axis=0, mode='clip')  # T → zero row
-        halo = halo.at[:, dst(dz, tz, hz), dst(dy, ty, hy),
-                       dst(dx, tx, hx)].set(nb)
-    return halo
+        y_parts = []
+        for dy in (-1, 0, 1):
+            if dy != 0 and hy == 0:
+                continue
+            x_parts = []
+            for dx in (-1, 0, 1):
+                if dx != 0 and hx == 0:
+                    continue
+                if (dz, dy, dx) == (0, 0, 0):
+                    x_parts.append(x)
+                    continue
+                di = dir_index[(dz, dy, dx)]
+                src = xp_[:, sel(dz, tz, hz), sel(dy, ty, hy),
+                          sel(dx, tx, hx)]
+                x_parts.append(jnp.take(src, nb_idx[di], axis=0,
+                                        mode='clip'))   # T → zero row
+            y_parts.append(x_parts[0] if len(x_parts) == 1
+                           else jnp.concatenate(x_parts, axis=3))
+        z_parts.append(y_parts[0] if len(y_parts) == 1
+                       else jnp.concatenate(y_parts, axis=2))
+    return (z_parts[0] if len(z_parts) == 1
+            else jnp.concatenate(z_parts, axis=1))
 
 
 def _conv_views(halo, ks, stride, out_sz, k0):
@@ -280,26 +330,38 @@ def _conv_views(halo, ks, stride, out_sz, k0):
 
 
 def _apply_weight(views, weight, out_dtype):
-    """Σ_k views[k] @ W[k] → [T, oz, oy, ox, Cout] (f32 accumulate)."""
-    acc = None
-    for k, v in enumerate(views):
-        t = jax.lax.dot_general(
-            v, weight[k].astype(v.dtype),
-            dimension_numbers=(((4,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        acc = t if acc is None else acc + t
-    return acc.astype(out_dtype)
+    """views ⊛ weight → [T, oz, oy, ox, Cout] (f32 accumulate).
+
+    Single im2col GEMM: concat the K offset views along channels and do
+    one [.., K·Cin] × [K·Cin, Cout] dot. On TPU the minor dim is padded
+    to 128 lanes, so K separate [.., Cin] dots waste up to 8× HBM traffic
+    at Cin=16 (each view padded 16→128); the concatenated K·Cin minor dim
+    is near-dense. At Cin≥128 the two forms are equivalent.
+    """
+    K = len(views)
+    cin, cout = weight.shape[1], weight.shape[2]
+    col = views[0] if K == 1 else jnp.concatenate(views, axis=-1)
+    out = jax.lax.dot_general(
+        col, weight.reshape(K * cin, cout).astype(col.dtype),
+        dimension_numbers=(((4,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    return out.astype(out_dtype)
 
 
-def subm_conv3d_tile(tt: TileTensor, weight, bias=None, kernel_size=3):
+def subm_conv3d_tile(tt: TileTensor, weight, bias=None, kernel_size=3,
+                     compute_dtype=None):
     """Submanifold conv on tiles (output sites == input sites).
 
     weight [K, Cin, Cout] in the z-major offset order of
     ops/sparse_conv.py._offsets — backends are weight-compatible.
+    ``compute_dtype`` (e.g. bfloat16) casts the haloed features before the
+    MXU GEMMs (f32 accumulation); output keeps the input feature dtype.
     """
     ks = _b3(kernel_size)
     h = tuple((k - 1) // 2 for k in ks)
     f = jnp.where(tt.mask[..., None], tt.features, 0)
+    if compute_dtype is not None:
+        f = f.astype(compute_dtype)
     halo = _build_halo(f, tt.nb_idx, h)
     views = _conv_views(halo, ks, (1, 1, 1), tt.tile_shape, (0, 0, 0))
     out = _apply_weight(views, weight, tt.features.dtype)
@@ -310,56 +372,58 @@ def subm_conv3d_tile(tt: TileTensor, weight, bias=None, kernel_size=3):
                       tt.spatial_shape, tt.batch_size)
 
 
+def _shift_occ(occ, d):
+    """occ [B, gz, gy, gx] → out[c] = occ[c - d] (zero beyond edges)."""
+    out = occ
+    for ax, di in enumerate(d):
+        if di == 0:
+            continue
+        axis = 1 + ax
+        nsz = out.shape[axis]
+        pw = [(0, 0)] * out.ndim
+        pw[axis] = (di, 0) if di > 0 else (0, -di)
+        out = jnp.pad(out, pw)
+        out = (lax.slice_in_dim(out, 0, nsz, axis=axis) if di > 0
+               else lax.slice_in_dim(out, -di, nsz - di, axis=axis))
+    return out
+
+
 def _dilate_tiles(tt: TileTensor, dirs):
     """Add ``active_tile + d`` for each d in ``dirs`` (empty features) to
     the tile table — needed when a strided conv's active-set rule lets
     inputs activate output sites in a neighboring parent tile's region
     (exact spconv rule, or floor rule with pad != center). Capacity is the
-    same table size; overflow drops (documented, like voxelize)."""
+    same table size; overflow drops (documented, like voxelize).
+
+    Dense-grid version: the dilation is |dirs| boolean shifts of the
+    occupancy grid, the feature move is one gather off the new slot map.
+    """
     T = tt.tile_coords.shape[0]
     grid = tt.tiles_grid
-    dirs = np.asarray(dirs, np.int32).reshape(-1, 3)
-    D = len(dirs) + 1
-    dirs = np.concatenate([np.zeros((1, 3), np.int32), dirs], 0)
+    B = tt.batch_size
     valid = tt.valid
-    cand = (tt.tile_coords[None, :, :]
-            + jnp.pad(jnp.asarray(dirs), ((0, 0), (1, 0)))[:, None, :])
-    cand = cand.reshape(-1, 4)
-    ok = jnp.broadcast_to(valid[None], (D, T)).reshape(-1)
-    ok = ok & jnp.all((cand[:, 1:] >= 0)
-                      & (cand[:, 1:] < jnp.asarray(grid)), -1)
-    lin, BIG = _tile_lin(cand, grid, tt.batch_size, ok)
-    order = jnp.argsort(lin)
-    lin_s = lin[order]
-    cand_s = cand[order]
-    new_seg = (lin_s < BIG) & jnp.concatenate(
-        [jnp.ones((1,), bool), lin_s[1:] != lin_s[:-1]])
-    slot = jnp.cumsum(new_seg.astype(jnp.int32)) - 1
-    cap = T
-    tile_coords = jnp.full((cap, 4), -1, jnp.int32)
-    ci = jnp.where(new_seg & (slot < cap), slot, cap)
-    tile_coords = tile_coords.at[ci].set(cand_s, mode='drop')
-    # move features/mask to the new slots: locate old tiles in new table
-    new_lin, NBIG = _tile_lin(tile_coords, grid, tt.batch_size,
-                              tile_coords[:, 0] >= 0)
-    old_lin, _ = _tile_lin(tt.tile_coords, grid, tt.batch_size, valid)
-    pos = jnp.clip(jnp.searchsorted(new_lin, old_lin), 0, cap - 1)
-    found = valid & (new_lin[pos] == old_lin)
-    dest = jnp.where(found, pos, cap)
-    feats = jnp.zeros((cap + 1,) + tt.features.shape[1:],
-                      tt.features.dtype)
-    feats = feats.at[dest].set(tt.features, mode='drop')[:cap]
-    mask = jnp.zeros((cap + 1,) + tt.mask.shape[1:], bool)
-    mask = mask.at[dest].set(tt.mask, mode='drop')[:cap]
+    lin, BIG = _tile_lin(tt.tile_coords, grid, B, valid)
+    n = B * int(np.prod(grid))
+    occ0 = jnp.zeros((n,), bool).at[lin].set(valid, mode='drop')
+    occg = occ0.reshape((B,) + grid)
+    occ = occg
+    for d in np.asarray(dirs, np.int32).reshape(-1, 3):
+        occ = occ | _shift_occ(occg, tuple(int(v) for v in d))
+    tile_coords, smap = _table_from_occ(occ.reshape(-1), grid, B, T)
+    dest = smap[lin]                       # T where dropped by capacity
+    feats = jnp.zeros((T + 1,) + tt.features.shape[1:], tt.features.dtype)
+    feats = feats.at[dest].set(tt.features, mode='drop')[:T]
+    mask = jnp.zeros((T + 1,) + tt.mask.shape[1:], bool)
+    mask = mask.at[dest].set(tt.mask, mode='drop')[:T]
     return TileTensor(feats, mask, tile_coords,
-                      _neighbor_table(tile_coords, grid, tt.batch_size),
+                      _neighbor_table(tile_coords, grid, B, smap),
                       tt.spatial_shape, tt.batch_size)
 
 
 def sparse_conv3d_tile(tt: TileTensor, weight, bias=None, kernel_size=3,
                        stride=2, padding=1, out_tile_shape=None,
                        out_capacity: Optional[int] = None,
-                       rule: str = 'floor'):
+                       rule: str = 'floor', compute_dtype=None):
     """Strided sparse conv on tiles with re-tiling.
 
     rule='floor' matches ops/sparse_conv.py's active-set rule exactly;
@@ -373,6 +437,8 @@ def sparse_conv3d_tile(tt: TileTensor, weight, bias=None, kernel_size=3,
     nz, ny, nx = tt.spatial_shape
     out_shape = tuple((tt.spatial_shape[i] + 2 * pad[i] - ks[i])
                       // strd[i] + 1 for i in range(3))
+    assert all(n > 0 for n in out_shape), \
+        f'conv collapses spatial dim: {tt.spatial_shape} -> {out_shape}'
     for i in range(3):
         assert (tz, ty, tx)[i] % strd[i] == 0, \
             f'tile dim {i} not divisible by stride'
@@ -416,6 +482,8 @@ def sparse_conv3d_tile(tt: TileTensor, weight, bias=None, kernel_size=3,
     T = tt.tile_coords.shape[0]
 
     f = jnp.where(tt.mask[..., None], tt.features, 0)
+    if compute_dtype is not None:
+        f = f.astype(compute_dtype)
     halo = _build_halo(f, tt.nb_idx, h)
     # value offsets: out o ← halo[s·o + (h - pad) + k]
     k0 = tuple(h[i] - pad[i] for i in range(3))
@@ -450,20 +518,11 @@ def sparse_conv3d_tile(tt: TileTensor, weight, bias=None, kernel_size=3,
     # and must not linearize out of range
     ok = tt.valid & jnp.all(parent[:, 1:] < jnp.asarray(out_grid), -1)
     plin, BIG = _tile_lin(parent, out_grid, tt.batch_size, ok)
-    order = jnp.argsort(plin)
-    plin_s = plin[order]
-    new_seg = (plin_s < BIG) & jnp.concatenate(
-        [jnp.ones((1,), bool), plin_s[1:] != plin_s[:-1]])
-    slot_s = jnp.cumsum(new_seg.astype(jnp.int32)) - 1
     cap = out_capacity or T
-    out_coords = jnp.full((cap, 4), -1, jnp.int32)
-    ci = jnp.where(new_seg & (slot_s < cap), slot_s, cap)
-    out_coords = out_coords.at[ci].set(parent[order], mode='drop')
-    out_lin, _ = _tile_lin(out_coords, out_grid, tt.batch_size,
-                           out_coords[:, 0] >= 0)
-    pos = jnp.clip(jnp.searchsorted(out_lin, plin), 0, cap - 1)
-    found = ok & (out_lin[pos] == plin)
-    dslot = jnp.where(found, pos, cap)
+    ng = tt.batch_size * int(np.prod(out_grid))
+    occ = jnp.zeros((ng,), bool).at[plin].set(ok, mode='drop')
+    out_coords, smap = _table_from_occ(occ, out_grid, tt.batch_size, cap)
+    dslot = smap[plin]                     # cap where dropped / invalid
 
     Cout = region.shape[-1]
     rz, ry, rx = rsz
@@ -484,5 +543,5 @@ def sparse_conv3d_tile(tt: TileTensor, weight, bias=None, kernel_size=3,
     feats = jnp.where(omask[..., None], feats, 0)
     return TileTensor(
         feats, omask, out_coords,
-        _neighbor_table(out_coords, out_grid, tt.batch_size),
+        _neighbor_table(out_coords, out_grid, tt.batch_size, smap),
         out_shape, tt.batch_size)
