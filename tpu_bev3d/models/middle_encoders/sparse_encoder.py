@@ -44,7 +44,8 @@ class SparseConvLayer(nn.Module):
     @nn.compact
     def __call__(self, st, train: bool = False,
                  rulebook=None):
-        cin = st.features.shape[-1]
+        cin = st.channels if isinstance(st, TileTensor) \
+            else st.features.shape[-1]
         k = int(np.prod(np.broadcast_to(np.asarray(self.kernel_size), (3,))))
         fan_in = cin * k
         w = self.param('kernel',
@@ -65,17 +66,15 @@ class SparseConvLayer(nn.Module):
                     stride=self.stride, padding=self.padding,
                     out_capacity=self.out_capacity,
                     rule=self.active_rule, compute_dtype=cdt)
-            f = out.features
+            f = out.features                       # [T, S·Cout] flat rows
             mflat = out.mask.reshape(-1)
-            fflat = f.reshape(-1, f.shape[-1])
+            fflat = f.reshape(-1, self.out_channels)
             if self.use_bn:
                 fflat = MaskedBatchNorm()(fflat, mflat, train=train)
             if self.act:
                 fflat = nn.relu(fflat)
             fflat = jnp.where(mflat[:, None], fflat, 0.0)
-            return TileTensor(fflat.reshape(f.shape), out.mask,
-                              out.tile_coords, out.nb_idx,
-                              out.spatial_shape, out.batch_size)
+            return out.replace_features(fflat.reshape(f.shape))
         if self.subm:
             out = subm_conv3d(st, w, kernel_size=self.kernel_size,
                               rulebook=rulebook)
