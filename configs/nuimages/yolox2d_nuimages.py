@@ -3,8 +3,9 @@
 # output; this repo's 2D surface is the fixed-shape YOLOX head used for
 # StreamPETR's auxiliary 2D supervision, so the nuimages family resolves
 # to a single-view YOLOX 2D detector over the same converter pkls
-# (tools/nuimages_converter.py). Deviation (documented): bbox-only
-# detection, no instance masks.
+# (tools/nuimages_converter.py). Instance masks: the converter emits the
+# reference's COCO RLEs and mask_channels>0 trains a YOLACT-style
+# prototype mask branch on them (see yolox2d_mask_nuimages.py).
 class_names = [
     'car', 'truck', 'trailer', 'bus', 'construction_vehicle', 'bicycle',
     'motorcycle', 'pedestrian', 'traffic_cone', 'barrier'

@@ -158,3 +158,46 @@ def test_custom_scene_converter(tmp_path):
     s = ds[0]
     assert s['gt_mask'].sum() == 2
     assert s['points'].shape == (256, 4)
+
+
+def test_nuimages_converter_instance_masks(tmp_path):
+    import json
+    import numpy as np
+    from nuimages_converter import create_nuimages_coco
+    from tpu_bev3d.utils.rle import mask_encode, rle_decode
+    tdir = tmp_path / 'v1.0-mini'
+    os.makedirs(tdir)
+    H, W = 90, 160
+    json.dump([dict(token='sd0', is_key_frame=True,
+                    filename='samples/CAM_FRONT/a.jpg',
+                    width=W, height=H)],
+              open(tdir / 'sample_data.json', 'w'))
+    json.dump([dict(token='c0', name='vehicle.car'),
+               dict(token='c1', name='flat.driveable_surface')],
+              open(tdir / 'category.json', 'w'))
+    car = np.zeros((H, W), np.uint8); car[20:40, 30:60] = 1
+    road = np.zeros((H, W), np.uint8); road[60:, :] = 1
+    json.dump([dict(token='t0', sample_data_token='sd0',
+                    category_token='c0', bbox=[30, 20, 60, 40],
+                    mask=mask_encode(car, b64=True))],
+              open(tdir / 'object_ann.json', 'w'))
+    json.dump([dict(token='s0', sample_data_token='sd0',
+                    category_token='c1',
+                    mask=mask_encode(road, b64=True))],
+              open(tdir / 'surface_ann.json', 'w'))
+    semdir = str(tmp_path / 'semseg')
+    coco, _ = create_nuimages_coco(str(tmp_path), 'v1.0-mini',
+                                   semseg_dir=semdir)
+    a = coco['annotations'][0]
+    # segmentation is standard COCO compressed RLE (plain counts str,
+    # ref nuimage_converter.py:129-133) and decodes back to the mask
+    seg = a['segmentation']
+    assert isinstance(seg['counts'], str)
+    assert (rle_decode(seg) == car).all()
+    # semantic-seg map: surface below (index 2 = driveable, last),
+    # object on top (index 1 = car)
+    from PIL import Image
+    sem = np.asarray(Image.open(os.path.join(semdir, 'a.png')))
+    assert sem[30, 40] == 1          # car pixel
+    assert sem[80, 40] == 2          # road pixel
+    assert sem[0, 0] == 0            # background

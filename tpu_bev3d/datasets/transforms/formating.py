@@ -19,11 +19,15 @@ class Pack3DDetInputs:
     def __init__(self, keys: Sequence[str] = (), num_points: int = 120000,
                  max_gt: int = 64, box_dim: int = 7,
                  max_gt_2d: int = 0,
+                 mask_size: Sequence[int] = (),
                  meta_keys: Sequence[str] = (), **kw):
         self.num_points = num_points
         self.max_gt = max_gt
         self.box_dim = box_dim
         self.max_gt_2d = max_gt_2d   # >0 → pack per-camera 2D GT slots
+        # (Hm, Wm) → also pack per-GT binary instance masks (nuImages
+        # RLEs from the converter), nearest-downsampled to this shape
+        self.mask_size = tuple(mask_size)
         self.meta_keys = list(meta_keys)
 
     def __call__(self, results: dict) -> dict:
@@ -107,6 +111,21 @@ class Pack3DDetInputs:
                     m2[ci, gi] = True
             out.update(gt_bboxes_2d=b2, centers2d=c2, depths2d=d2,
                        gt_labels_2d=l2, gt_mask_2d=m2)
+            if self.mask_size:
+                Hm, Wm = self.mask_size
+                seg = np.zeros((N, G2, Hm, Wm), np.uint8)
+                for ci, anns in enumerate(cams):
+                    for gi, a in enumerate(anns[:G2]):
+                        rle = a.get('segmentation') or a.get('mask')
+                        if rle is None:
+                            continue
+                        from ...utils.rle import mask_decode
+                        m = mask_decode(rle)
+                        # nearest downsample via index stride
+                        yi = (np.arange(Hm) * m.shape[0] // Hm)
+                        xi = (np.arange(Wm) * m.shape[1] // Wm)
+                        seg[ci, gi] = m[yi[:, None], xi[None, :]]
+                out['gt_masks_2d'] = seg
         meta = {k: results[k] for k in self.meta_keys if k in results}
         for k in ('sample_idx', 'token', 'lidar_path'):
             if k in results:

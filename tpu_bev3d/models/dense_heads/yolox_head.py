@@ -131,6 +131,15 @@ class YOLOXHead2D(nn.Module):
     feat_channels: int = 256
     stacked_convs: int = 2
     strides: Tuple[int, ...] = (8, 16, 32)
+    # instance masks (nuImages parity — the reference trains mask R-CNN
+    # style models on the nuimage converter's COCO masks, ref
+    # configs/nuimages/*): >0 enables a YOLACT-style prototype branch —
+    # k prototypes from the finest level + per-prior coefficients; a
+    # predicted mask is sigmoid(protos @ coefs), cropped to its box.
+    # Fixed shapes: [BN, Hp, Wp, k] protos, [BN, P, k] coefs — one
+    # einsum per image lands the mask matmul on the MXU.
+    mask_channels: int = 0
+    mask_pos_topk: int = 32      # positives supervised per image
 
     def _tower(self, x, prefix, train):
         for i in range(self.stacked_convs):
@@ -150,6 +159,7 @@ class YOLOXHead2D(nn.Module):
         centers2d [BN,P,2] decoded).
         """
         all_cls, all_reg, all_obj, all_ctr, all_priors = [], [], [], [], []
+        all_mc = []
         for li, (x, s) in enumerate(zip(feats, self.strides)):
             BN, H, W, _ = x.shape
             c = self._tower(x, f'cls{li}', train)
@@ -162,6 +172,10 @@ class YOLOXHead2D(nn.Module):
             all_reg.append(reg.reshape(BN, H * W, 4))
             all_obj.append(obj.reshape(BN, H * W))
             all_ctr.append(ctr.reshape(BN, H * W, 2))
+            if self.mask_channels > 0:
+                mc = nn.Conv(self.mask_channels, (1, 1),
+                             name=f'pred_mcoef{li}')(r)
+                all_mc.append(jnp.tanh(mc).reshape(BN, H * W, -1))
             ys, xs = jnp.meshgrid(jnp.arange(H, dtype=jnp.float32),
                                   jnp.arange(W, dtype=jnp.float32),
                                   indexing='ij')
@@ -180,10 +194,38 @@ class YOLOXHead2D(nn.Module):
         wh = jnp.exp(jnp.clip(reg[..., 2:], -10, 8)) * priors[None, :, 2:]
         bboxes = jnp.concatenate([xy - wh / 2, xy + wh / 2], -1)
         centers2d = ctr * priors[None, :, 2:] + priors[None, :, :2]
-        return dict(cls=cls, bbox_raw=reg, obj=obj, centers2d_off=ctr,
-                    priors=priors, bboxes=bboxes, centers2d=centers2d)
+        out = dict(cls=cls, bbox_raw=reg, obj=obj, centers2d_off=ctr,
+                   priors=priors, bboxes=bboxes, centers2d=centers2d)
+        if self.mask_channels > 0:
+            # prototype net over the finest level (YOLACT protonet shape)
+            p = feats[0]
+            for i in range(2):
+                p = nn.Conv(self.feat_channels, (3, 3), padding='SAME',
+                            name=f'proto_conv{i}')(p)
+                p = nn.relu(p)
+            p = nn.Conv(self.mask_channels, (1, 1), name='proto_pred')(p)
+            out['protos'] = nn.relu(p)           # [BN, Hp, Wp, k]
+            out['mask_coefs'] = jnp.concatenate(all_mc, 1)  # [BN, P, k]
+            out['proto_stride'] = float(self.strides[0])
+        return out
 
-    def loss_by_feat(self, outs, gt_bboxes, gt_labels, centers2d, gt_mask):
+    @staticmethod
+    def crop_masks(masks, boxes, stride):
+        """Zero mask logits/probs outside their (image-pixel) boxes.
+
+        masks [..., Q, Hp, Wp], boxes [..., Q, 4] xyxy pixels; YOLACT's
+        crop — implemented as a broadcast compare (no dynamic slicing).
+        """
+        Hp, Wp = masks.shape[-2:]
+        ys = (jnp.arange(Hp, dtype=jnp.float32) + 0.5) * stride
+        xs = (jnp.arange(Wp, dtype=jnp.float32) + 0.5) * stride
+        b = boxes[..., None, None, :]
+        inside = ((xs[None, :] >= b[..., 0]) & (xs[None, :] <= b[..., 2])
+                  & (ys[:, None] >= b[..., 1]) & (ys[:, None] <= b[..., 3]))
+        return masks * inside.astype(masks.dtype)
+
+    def loss_by_feat(self, outs, gt_bboxes, gt_labels, centers2d, gt_mask,
+                     gt_masks=None):
         """All-image SimOTA targets + mask-weighted YOLOX losses.
 
         gt_bboxes [BN,G,4] xyxy (image pixels), gt_labels [BN,G],
@@ -241,9 +283,51 @@ class YOLOXHead2D(nn.Module):
         ctr_tgt = (tgt_ctr - priors[None, :, :2]) / priors[None, :, 2:]
         loss_ctr = jnp.sum(jnp.abs(outs['centers2d_off'] - ctr_tgt)
                            * fg[..., None]) / num_pos
-        return dict(enc_loss_cls=loss_cls, enc_loss_obj=loss_obj,
-                    enc_loss_iou=loss_iou, enc_loss_l1=loss_l1,
-                    enc_loss_centers2d=loss_ctr)
+        losses = dict(enc_loss_cls=loss_cls, enc_loss_obj=loss_obj,
+                      enc_loss_iou=loss_iou, enc_loss_l1=loss_l1,
+                      enc_loss_centers2d=loss_ctr)
+        if gt_masks is not None and self.mask_channels > 0:
+            losses['enc_loss_mask'] = self._mask_loss(
+                outs, fg, mgt, miou, gt_bboxes, gt_masks)
+        return losses
+
+    def _mask_loss(self, outs, fg, mgt, miou, gt_bboxes, gt_masks):
+        """YOLACT-style prototype mask loss on the top positives.
+
+        gt_masks [BN, G, Hm, Wm] binary (any resolution — resized to the
+        prototype grid); BCE-with-logits inside each GT box, normalized
+        by box area (YOLACT's loss), averaged over supervised positives.
+        Only ``mask_pos_topk`` positives per image are supervised — a
+        fixed shape that keeps the [Q, Hp, Wp] tensor small for jit.
+        """
+        protos = outs['protos']                            # [BN, Hp, Wp, k]
+        stride = outs['proto_stride']
+        BN, Hp, Wp, _ = protos.shape
+        Km = self.mask_pos_topk
+        # deterministic positive selection: prefer higher matched IoU
+        sel_score = fg.astype(jnp.float32) * (1.0 + miou)
+        sw, sel = jax.lax.top_k(sel_score, Km)             # [BN, Km]
+        sel_valid = sw > 0.0
+        coefs = jnp.take_along_axis(outs['mask_coefs'], sel[..., None], 1)
+        sgt = jnp.take_along_axis(mgt, sel, 1)             # [BN, Km]
+        boxes = jnp.take_along_axis(gt_bboxes, sgt[..., None], 1)
+        logits = jnp.einsum('bhwk,bqk->bqhw', protos, coefs)
+        if gt_masks.shape[-2:] != (Hp, Wp):
+            gt_masks = jax.image.resize(
+                gt_masks.astype(jnp.float32),
+                gt_masks.shape[:-2] + (Hp, Wp), 'nearest')
+        tgt = jnp.take_along_axis(
+            gt_masks.astype(jnp.float32),
+            sgt[..., None, None].repeat(Hp, -2).repeat(Wp, -1), 1)
+        bce = (jnp.clip(logits, 0) - logits * tgt
+               + jnp.log1p(jnp.exp(-jnp.abs(logits))))
+        bce = self.crop_masks(bce, boxes, stride)          # in-box only
+        area = jnp.clip((boxes[..., 2] - boxes[..., 0])
+                        * (boxes[..., 3] - boxes[..., 1])
+                        / (stride * stride), 1.0)
+        per_inst = bce.sum((-2, -1)) / area                # [BN, Km]
+        n = jnp.maximum(sel_valid.sum(), 1.0)
+        return jnp.sum(per_inst * sel_valid) / n
 
     def top_priors(self, outs, num_priors: int):
         """Top-k 2D object priors for the 3D decoder (repdetr flow):

@@ -2,13 +2,16 @@
 
 The repo's analogue of the reference's nuImages 2D family
 (configs/nuimages/* train mmdet cascade-mask-rcnn/htc on the nuimages
-converter output): the same converter pkls feed a bbox-only fixed-shape
-YOLOX detector (the 2D head StreamPETR already uses for auxiliary
-supervision). Documented deviation: no instance masks.
+converter output): the same converter pkls feed a fixed-shape YOLOX
+detector (the 2D head StreamPETR already uses for auxiliary
+supervision), optionally with a YOLACT-style prototype mask branch
+(bbox_head mask_channels>0) covering the reference's instance-mask
+training on the nuimage converter's COCO RLEs.
 
 Batch contract: imgs [B, H, W, 3]; train adds gt_bboxes_2d [B, G, 4]
 xyxy-pixels, gt_labels_2d [B, G], centers2d [B, G, 2] (defaults to box
-centers when absent), gt_mask_2d [B, G].
+centers when absent), gt_mask_2d [B, G], and optionally gt_masks_2d
+[B, G, Hm, Wm] binary instance masks.
 """
 from __future__ import annotations
 
@@ -49,7 +52,8 @@ class YOLOX2DDetector(nn.Module):
                                  (gtb[..., 1] + gtb[..., 3]) / 2], -1)
             return self._bbox_head.loss_by_feat(
                 outs, gtb, batch['gt_labels_2d'], c2d,
-                batch['gt_mask_2d'])
+                batch['gt_mask_2d'],
+                gt_masks=batch.get('gt_masks_2d'))
         if mode == 'predict':
             cls = jax.nn.sigmoid(outs['cls'])
             obj = jax.nn.sigmoid(outs['obj'])
@@ -58,6 +62,17 @@ class YOLOX2DDetector(nn.Module):
             top, idx = jax.lax.top_k(score, self.num_pred)
             boxes = jnp.take_along_axis(outs['bboxes'], idx[..., None], 1)
             labs = jnp.take_along_axis(labels, idx, 1)
-            return dict(bboxes=boxes, scores=top, labels=labs,
+            pred = dict(bboxes=boxes, scores=top, labels=labs,
                         mask=top > self.score_thr)
+            if 'protos' in outs:
+                # instance masks: prototype combo for the top detections,
+                # sigmoid + YOLACT box crop; [B, num_pred, Hp, Wp] at
+                # proto_stride resolution
+                coefs = jnp.take_along_axis(outs['mask_coefs'],
+                                            idx[..., None], 1)
+                m = jax.nn.sigmoid(jnp.einsum('bhwk,bqk->bqhw',
+                                              outs['protos'], coefs))
+                pred['masks'] = self._bbox_head.crop_masks(
+                    m, boxes, outs['proto_stride'])
+            return pred
         raise ValueError(mode)
