@@ -1,0 +1,310 @@
+#!/usr/bin/env python
+"""Encoder accuracy A/B: faithful tile-sparse vs BEVColumnEncoder.
+
+The flagship's headline fps is earned on BEVColumnEncoder (z->channels +
+2D MXU convs), which has no reference counterpart; the faithful path is
+the tile-sparse 3D encoder (exact spconv active-set rule; ref:
+projects/BEVFusion/bevfusion/sparse_encoder.py:14). This tool trains two
+tiny lidar-only BEVFusion models that differ ONLY in the middle encoder
+— identical voxelization, SECOND backbone, SECONDFPN neck, TransFusion
+head, data stream, optimizer, seeds, and step count — and compares them
+with the repo's devkit-fidelity NDS implementation
+(evaluation/functional/nuscenes_eval.py).
+
+Data = LEARNABLE synthetic scenes (ground plane + surface-sampled boxes
+of 3 proxy classes with class-typical dims, so geometry predicts both
+box and class) PLUS the two REAL nuScenes fixture frames
+(tests/data/nuscenes) through the real pipeline. Eval = held-out
+synthetic scenes + the real frames (train-transfer: the real frames are
+also trained on; this is an architecture-relative A/B, not an absolute
+accuracy claim).
+
+Run (CPU; ~10-20 min at defaults):
+    env JAX_PLATFORMS=cpu python tools/ab_encoder_accuracy.py
+Smoke (CI): --steps 24 --train-scenes 4 --eval-scenes 2 --grid 96
+"""
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                '..'))
+
+# proxy classes -> indices in the nuScenes class order of the faithful
+# config (car, truck, ..., pedestrian is index 8)
+PROXY_CLASSES = {
+    0: dict(name='car', dims=(4.4, 1.95, 1.7), dims_sd=0.25, n_pts=(120, 400)),
+    1: dict(name='truck', dims=(7.0, 2.5, 2.9), dims_sd=0.5, n_pts=(200, 600)),
+    8: dict(name='pedestrian', dims=(0.75, 0.67, 1.77), dims_sd=0.08,
+            n_pts=(40, 120)),
+}
+
+
+def _box_surface_points(rng, box, n):
+    """Sample lidar-like returns on the two sensor-facing side faces +
+    top of an upright box (bottom-centered z)."""
+    cx, cy, z0, dx, dy, dz, yaw = box[:7]
+    # choose faces facing the origin (sensor at 0,0)
+    pts = []
+    n_side = int(n * 0.8)
+    for _ in range(2):
+        u = rng.uniform(-0.5, 0.5, n_side // 2)
+        h = rng.uniform(0, 1, n_side // 2)
+        # alternate x-face / y-face in the box frame
+        if len(pts) == 0:
+            local = np.stack([u * dx, np.full_like(u, -dy / 2), h * dz], -1)
+        else:
+            local = np.stack([np.full_like(u, -dx / 2), u * dy, h * dz], -1)
+        pts.append(local)
+    u = rng.uniform(-0.5, 0.5, (n - 2 * (n_side // 2), 2))
+    pts.append(np.concatenate(
+        [u * np.array([dx, dy]), np.full((len(u), 1), dz)], -1))
+    local = np.concatenate(pts, 0)
+    local += rng.normal(0, 0.02, local.shape)
+    c, s = np.cos(yaw), np.sin(yaw)
+    rot = np.array([[c, -s], [s, c]])
+    world = local.copy()
+    world[:, :2] = local[:, :2] @ rot.T
+    # flip the sampled faces toward the sensor
+    toward = -np.sign([cx, cy])
+    world[:, 0] *= -toward[0] if cx < 0 else 1
+    world[:, 1] *= -toward[1] if cy < 0 else 1
+    world[:, :2] += [cx, cy]
+    world[:, 2] += z0
+    return world
+
+
+def make_scene(rng, num_points, pc_range, max_gt, num_obj=(6, 14),
+               point_dim=5):
+    """One learnable scene: ground returns + surface-sampled objects.
+    Returns a fixed-shape batch dict (batch axis added by the caller)."""
+    lo, hi = np.asarray(pc_range[:3]), np.asarray(pc_range[3:])
+    n_obj = int(rng.integers(*num_obj))
+    boxes, labels, obj_pts = [], [], []
+    for _ in range(n_obj):
+        lab = int(rng.choice(list(PROXY_CLASSES)))
+        spec = PROXY_CLASSES[lab]
+        dims = np.abs(rng.normal(spec['dims'], spec['dims_sd']))
+        ctr = rng.uniform(lo[:2] + 4, hi[:2] - 4)
+        # objects stand on the ground plane (bottom-centered z)
+        z0 = -1.8 + rng.normal(0, 0.05)
+        yaw = rng.uniform(-np.pi, np.pi)
+        box = np.array([ctr[0], ctr[1], z0, dims[0], dims[1], dims[2], yaw])
+        dist = np.hypot(ctr[0], ctr[1])
+        n = int(np.interp(dist, [5, 54], spec['n_pts'][::-1]))
+        boxes.append(box)
+        labels.append(lab)
+        obj_pts.append(_box_surface_points(rng, box, max(n, 12)))
+    obj = np.concatenate(obj_pts, 0) if obj_pts else np.zeros((0, 3))
+    n_ground = max(num_points - len(obj), 0)
+    # ground: radial rings like a spinning lidar
+    r = rng.uniform(2, float(hi[0]) * 1.4, n_ground) ** 0.8 * \
+        float(hi[0]) ** 0.2
+    az = rng.uniform(-np.pi, np.pi, n_ground)
+    ground = np.stack([r * np.cos(az), r * np.sin(az),
+                       np.full(n_ground, -1.8) +
+                       rng.normal(0, 0.03, n_ground)], -1)
+    pts = np.concatenate([obj, ground], 0)[:num_points]
+    inb = ((pts >= lo) & (pts < hi - 1e-4)).all(1)
+    pts = pts[inb]
+    pad = num_points - len(pts)
+    mask = np.concatenate([np.ones(len(pts), bool), np.zeros(pad, bool)])
+    pts = np.concatenate([pts, np.zeros((pad, 3))], 0)
+    extra = rng.uniform(0, 1, (num_points, point_dim - 3))
+    points = np.concatenate([pts, extra], -1).astype(np.float32)
+
+    gtb = np.zeros((max_gt, 9), np.float32)
+    gtl = np.zeros((max_gt,), np.int32)
+    gtm = np.zeros((max_gt,), bool)
+    n_keep = min(len(boxes), max_gt)
+    for i in range(n_keep):
+        gtb[i, :7] = boxes[i]          # velocity terms stay 0
+        gtl[i] = labels[i]
+        gtm[i] = True
+    return dict(points=points, points_mask=mask, gt_bboxes_3d=gtb,
+                gt_labels_3d=gtl, gt_mask=gtm)
+
+
+def load_real_frames(num_points, max_gt):
+    """The 2 real nuScenes fixture keyframes through the real pipeline."""
+    from tpu_bev3d.datasets import NuScenesDataset
+    root = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        '..', 'tests', 'data', 'nuscenes')
+    pipe = [dict(type='LoadPointsFromFile', load_dim=5, use_dim=5),
+            dict(type='LoadAnnotations3D'),
+            dict(type='PointsRangeFilter',
+                 point_cloud_range=[-54, -54, -5, 54, 54, 3]),
+            dict(type='ObjectRangeFilter',
+                 point_cloud_range=[-54, -54, -5, 54, 54, 3]),
+            dict(type='Pack3DDetInputs', num_points=num_points,
+                 max_gt=max_gt)]
+    ds = NuScenesDataset(
+        data_root=root, ann_file='nus_info.pkl', use_valid_flag=True,
+        data_prefix=dict(pts='samples/LIDAR_TOP',
+                         sweeps='sweeps/LIDAR_TOP', img=''),
+        pipeline=pipe)
+    out = []
+    for i in range(len(ds)):
+        s = ds.prepare_data(i)
+        out.append({k: np.asarray(v) for k, v in s.items()
+                    if k not in ('metainfo', 'lidar_aug')})
+    return out
+
+
+def build_cfgs(grid, max_voxels):
+    """Two tiny lidar-only flagship configs differing ONLY in the middle
+    encoder. grid must be a multiple of 16 (pack 4 x head factor 8/4)."""
+    from tpu_bev3d.config import Config
+    vox = 108.0 / grid
+    voxel_size = [vox, vox, 0.2]
+    out = {}
+    for arm in ('tile', 'column'):
+        cfg = Config.fromfile(
+            'configs/bevfusion/bevfusion_lidar_voxel0075_second_secfpn_nus.py')
+        m = cfg.model
+        m.voxel_size = voxel_size
+        m.max_voxels = max_voxels
+        m.bbox_head.voxel_size = voxel_size
+        m.bbox_head.num_proposals = 64
+        if arm == 'tile':
+            m.middle_encoder.sparse_shape = [41, grid, grid]
+            m.middle_encoder.tile_capacity = 4096
+        else:
+            m.middle_encoder = dict(
+                type='BEVColumnEncoder', in_channels=5,
+                sparse_shape=[41, grid, grid], fused_stem=True, pack_xy=4,
+                stem_channels=128, stage_channels=[128, 256, 256],
+                stage_strides=[1, 2, 1], output_channels=256,
+                voxel_size=voxel_size,
+                point_cloud_range=[-54.0, -54.0, -5.0, 54.0, 54.0, 3.0])
+        out[arm] = cfg
+    return out
+
+
+def train_and_eval(arm, cfg, train_batches, eval_batches, steps, lr,
+                   classes, log):
+    import jax
+    import jax.numpy as jnp
+    from tpu_bev3d.engine import (build_optimizer, create_train_state,
+                                  make_train_step)
+    from tpu_bev3d.evaluation.functional.nuscenes_eval import nuscenes_eval
+    from tpu_bev3d.testing import build_detector_from_cfg
+
+    model = build_detector_from_cfg(cfg.model)
+    tx, _ = build_optimizer(dict(type='adamw', lr=lr), total_steps=steps,
+                            clip_grad_norm=35.0)
+    t0 = time.time()
+    state = create_train_state(model, train_batches[0], tx)
+    step_fn = make_train_step(model, tx, donate=False)
+    losses = []
+    for i in range(steps):
+        state, metrics = step_fn(state, train_batches[i % len(train_batches)])
+        if i % 25 == 0 or i == steps - 1:
+            losses.append(float(metrics['loss']))
+            log(f'  [{arm}] step {i:4d} loss {losses[-1]:.3f}')
+    t_train = time.time() - t0
+
+    variables = {'params': state.params, 'batch_stats': state.batch_stats}
+    predict = jax.jit(
+        lambda b: model.apply(variables, b, mode='predict', train=False))
+    preds, gts = [], []
+    for b in eval_batches:
+        out = predict(b)
+        bb = np.asarray(out['bboxes'][0])
+        sc = np.asarray(out['scores'][0])
+        lb = np.asarray(out['labels'][0])
+        keep = sc > 0.05
+        pad = 9 - bb.shape[-1]
+        if pad > 0:
+            bb = np.concatenate([bb, np.zeros((len(bb), pad))], -1)
+        preds.append(dict(boxes=bb[keep], labels=lb[keep].astype(np.int64),
+                          scores=sc[keep]))
+        gm = np.asarray(b['gt_mask'][0])
+        gts.append(dict(boxes=np.asarray(b['gt_bboxes_3d'][0])[gm],
+                        labels=np.asarray(b['gt_labels_3d'][0])[gm]
+                        .astype(np.int64)))
+    metrics = nuscenes_eval(preds, gts, classes)
+    return dict(arm=arm, loss_curve=losses, train_s=round(t_train, 1),
+                NDS=metrics['NDS'], mAP=metrics['mAP'],
+                per_class={c: metrics.get(f'{c}_AP_dist_2.0', float('nan'))
+                           for c in ('car', 'truck', 'pedestrian')})
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument('--steps', type=int, default=400)
+    p.add_argument('--lr', type=float, default=1e-3)
+    p.add_argument('--grid', type=int, default=192)
+    p.add_argument('--num-points', type=int, default=16000)
+    p.add_argument('--max-voxels', type=int, default=6000)
+    p.add_argument('--max-gt', type=int, default=48)
+    p.add_argument('--train-scenes', type=int, default=24)
+    p.add_argument('--eval-scenes', type=int, default=8)
+    p.add_argument('--batch-size', type=int, default=2)
+    p.add_argument('--no-real', action='store_true',
+                   help='skip the real fixture frames (pure synthetic)')
+    p.add_argument('--json', action='store_true', help='print one JSON line')
+    args = p.parse_args()
+
+    import jax
+    if os.environ.get('TPU_BEV3D_PLATFORM'):
+        jax.config.update('jax_platforms', os.environ['TPU_BEV3D_PLATFORM'])
+    import jax.numpy as jnp
+
+    def log(msg):
+        if not args.json:
+            print(msg, flush=True)
+
+    pc_range = (-54, -54, -5, 54, 54, 3)
+    scenes = [make_scene(np.random.default_rng(1000 + i), args.num_points,
+                         pc_range, args.max_gt)
+              for i in range(args.train_scenes + args.eval_scenes)]
+    train_sc = scenes[:args.train_scenes]
+    eval_sc = scenes[args.train_scenes:]
+    real = [] if args.no_real else load_real_frames(args.num_points,
+                                                    args.max_gt)
+    log(f'scenes: {len(train_sc)} train synth + {len(real)} real, '
+        f'{len(eval_sc)} eval synth')
+
+    # fixed interleave: synthetic pool with the real frames mixed in
+    pool = train_sc + real
+    rng = np.random.default_rng(7)
+    order = rng.permutation(len(pool))
+    bs = args.batch_size
+    train_batches = []
+    for i in range(0, len(pool) - bs + 1, bs):
+        group = [pool[j] for j in order[i:i + bs]]
+        train_batches.append({
+            k: jnp.asarray(np.stack([g[k] for g in group]))
+            for k in group[0]})
+    eval_pool = eval_sc + real
+    eval_batches = [{k: jnp.asarray(v[None]) for k, v in s.items()}
+                    for s in eval_pool]
+
+    cfgs = build_cfgs(args.grid, args.max_voxels)
+    classes = list(cfgs['tile'].class_names)
+    results = {}
+    for arm, cfg in cfgs.items():
+        log(f'--- training {arm} encoder ({args.steps} steps) ---')
+        results[arm] = train_and_eval(arm, cfg, train_batches, eval_batches,
+                                      args.steps, args.lr, classes, log)
+    if args.json:
+        import json
+        print(json.dumps({a: {k: v for k, v in r.items() if k != 'loss_curve'}
+                          for a, r in results.items()}))
+    else:
+        print(f'\n{"arm":8s} {"NDS":>7s} {"mAP":>7s} '
+              f'{"car":>7s} {"truck":>7s} {"ped":>7s} {"train_s":>8s}')
+        for a, r in results.items():
+            pc = r['per_class']
+            print(f'{a:8s} {r["NDS"]:7.3f} {r["mAP"]:7.3f} '
+                  f'{pc["car"]:7.3f} {pc["truck"]:7.3f} '
+                  f'{pc["pedestrian"]:7.3f} {r["train_s"]:8.1f}')
+    return results
+
+
+if __name__ == '__main__':
+    main()

@@ -316,10 +316,13 @@ def subm_conv3d_tile(tt: TileTensor, weight, bias=None, kernel_size=3,
         halo5 = _assemble(pieces, T,
                           (tz + 2 * h[0], ty + 2 * h[1], tx + 2 * h[2]), C)
     wk = weight.reshape(ks + (C, Cout)).astype(halo5.dtype)
+    # No preferred_element_type=f32: the MXU accumulates bf16 convs in
+    # f32 in hardware, the result is rounded to the table dtype right
+    # below, and JAX's conv AD rejects mixed-dtype accumulation (the f32
+    # cotangent would meet the bf16 weight in the transposed conv).
     out = lax.conv_general_dilated(
         halo5, wk, (1, 1, 1), 'VALID',
-        dimension_numbers=('NDHWC', 'DHWIO', 'NDHWC'),
-        preferred_element_type=jnp.float32)
+        dimension_numbers=('NDHWC', 'DHWIO', 'NDHWC'))
     out = out.astype(tt.features.dtype).reshape(T, S * Cout)
     if bias is not None:
         out = out + jnp.tile(bias.astype(out.dtype), S)
@@ -458,10 +461,12 @@ def sparse_conv3d_tile(tt: TileTensor, weight, bias=None, kernel_size=3,
                      (cap, off[0] + wlen[0], off[1] + wlen[1],
                       off[2] + wlen[2], C))
     wk = weight.reshape(ks + (C, Cout)).astype(vwin.dtype)
+    # no preferred_element_type: see the subm conv note (AD-compatible;
+    # MXU accumulates bf16 in f32 regardless)
     region = lax.conv_general_dilated(
         vwin, wk, strd, 'VALID',
-        dimension_numbers=('NDHWC', 'DHWIO', 'NDHWC'),
-        preferred_element_type=jnp.float32).astype(tt.features.dtype)
+        dimension_numbers=('NDHWC', 'DHWIO', 'NDHWC')).astype(
+            tt.features.dtype)
     if bias is not None:
         region = region + bias.astype(region.dtype)
 
