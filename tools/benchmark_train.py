@@ -35,11 +35,21 @@ def main():
     model = build_detector_from_cfg(cfg.model)
     ve = cfg.model.get('voxel_encoder', {}) or {}
     pdim = int(ve.get('in_channels', ve.get('num_features', 4)))
+    multimodal = 'img_backbone' in cfg.model
 
     # host-side batches; device_put FRESH buffers every step and block per
     # step — reused device buffers have produced memoized (impossible)
     # timings through the remote-device tunnel
     def mk_host(seed):
+        if multimodal:
+            from tpu_bev3d.testing import create_multimodal_inputs
+            vt = cfg.model.get('view_transform', {}) or {}
+            return create_multimodal_inputs(
+                rng=np.random.default_rng(seed), batch_size=bsz,
+                num_points=args.num_points, point_dim=5, num_classes=10,
+                image_size=tuple(vt.get('image_size', (256, 704))),
+                pc_range=tuple(cfg.model.point_cloud_range),
+                with_velocity=True)
         return create_detector_inputs(
             rng=np.random.default_rng(seed), batch_size=bsz,
             num_points=args.num_points, point_dim=pdim,

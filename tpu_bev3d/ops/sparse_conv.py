@@ -22,7 +22,12 @@ cheaper ``floor`` active-set rule — output sites = unique(floor((coord +
 pad_eff) / stride)) — a subset of spconv's set that avoids a K³-candidate
 sort per layer. Convolution values at the produced sites are exact; we train
 from scratch so the slightly sparser active set is a design choice, not an
-approximation of fixed weights.
+approximation of fixed weights. MEASURED deviation on a real KITTI cloud
+(tests/test_ops/test_strided_active_set_deviation.py): the floor set misses
+58/64/66% of spconv's active sites across three cascaded stride-2 stages —
+material, so converted torch checkpoints MUST run the tile backend's
+``rule='spconv'`` (the faithful-config default, ops/tile_sparse.py); this
+floor rule is a from-scratch-training-only path.
 """
 from __future__ import annotations
 
