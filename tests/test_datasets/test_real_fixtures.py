@@ -638,3 +638,30 @@ def test_s3dis_real_fixture():
                           data_prefix=dict(pts='points'), pipeline=[])
     m = seg.get_data_info(0)['seg_label_mapping']
     assert m[7] == 0 and m[11] == 4 and m[1] == 255
+
+
+def test_bench_real_batch_contract():
+    """bench.py's real-frame input (__graft_entry__._make_real_batch)
+    must produce the exact fixed-shape batch contract the flagship
+    predict graph expects — guards the driver's bench path."""
+    import __graft_entry__ as g
+
+    cfg = g._flagship_cfg(tiny=False)
+    b = g._make_real_batch(cfg, num_points=30000)
+    assert b is not None, 'vendored demo fixture must load'
+    assert b['points'].shape == (1, 30000, 5)
+    assert b['imgs'].shape == (1, 6, 256, 704, 3)
+    assert b['lidar2img'].shape == (1, 6, 4, 4)
+    assert b['lidar_aug'].shape == (1, 4, 4)
+    assert int(b['points_mask'].sum()) == 30000
+    pts = np.asarray(b['points'])[0]
+    assert np.isfinite(pts).all()
+    # real cloud occupancy at faithful scale: the measured band the
+    # single-sweep config capacities were sized from
+    c = np.floor((pts[:, :3] - np.array([-54, -54, -5.]))
+                 / np.array([0.075, 0.075, 0.2])).astype(np.int64)
+    vox = np.unique(c, axis=0)
+    assert 12000 < len(vox) < 36000
+    tiles = np.unique(np.stack([c[:, 2] // 2, c[:, 1] // 4, c[:, 0] // 4],
+                               1), axis=0)
+    assert len(tiles) < 12288, 'single-sweep tile capacity must cover it'
