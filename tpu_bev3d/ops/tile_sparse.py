@@ -266,6 +266,42 @@ def _gather_rows(rows_with_pad, idx):
     return jnp.take(rows_with_pad, idx.reshape(-1), axis=0)
 
 
+# 3-spatial conv formulation for the per-tile block convs:
+#   'conv3d' (default): one NDHWC lax.conv. MEASURED FASTER than the
+#   z-decomposed 2D form at every BEVFusion stage (probe_tile_bevfusion,
+#   v5e: subm16 3.46 vs 6.01 ms, down16 9.90 vs 14.63 ms) — consistent
+#   with the dense-encoder finding (CLAUDE.md: conv3d 149 vs 221 ms).
+#   'zdecomp': kz 2-spatial convs with z folded into batch (A/B knob).
+import os as _os
+_TILE_CONV = _os.environ.get('TPU_BEV3D_TILE_CONV', 'conv3d')
+# min channel width for the run-sliced subm neighbor gather (below it
+# the whole-row gather wins; see subm_conv3d_tile)
+_RUN_SLICED_MIN_C = int(_os.environ.get('TPU_BEV3D_SUBM_RUNC', '32'))
+
+
+def _block_conv(x5, wk, strd):
+    """[N, Dz, Hy, Wx, C] ⊛ wk [kz,ky,kx,C,Cout], VALID →
+    [N, oz, oy, ox, Cout]."""
+    if _TILE_CONV == 'conv3d':
+        return lax.conv_general_dilated(
+            x5, wk, strd, 'VALID',
+            dimension_numbers=('NDHWC', 'DHWIO', 'NDHWC'))
+    N, Dz, Hy, Wx, C = x5.shape
+    kz = wk.shape[0]
+    Cout = wk.shape[4]
+    sz, sy, sx = strd
+    oz = (Dz - kz) // sz + 1
+    out = None
+    for dz in range(kz):
+        sl = lax.slice_in_dim(x5, dz, dz + (oz - 1) * sz + 1, stride=sz,
+                              axis=1)                  # [N, oz, Hy, Wx, C]
+        y = lax.conv_general_dilated(
+            sl.reshape(N * oz, Hy, Wx, C), wk[dz], (sy, sx), 'VALID',
+            dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
+        out = y if out is None else out + y
+    return out.reshape(N, oz, out.shape[1], out.shape[2], Cout)
+
+
 def _assemble(pieces, To, dims, C):
     """Lane-slice pieces (cell-major order) → [To, *dims, C]."""
     flat = jnp.concatenate(pieces, axis=1)
@@ -295,13 +331,19 @@ def subm_conv3d_tile(tt: TileTensor, weight, bias=None, kernel_size=3,
         halo5 = f.reshape(T, tz, ty, tx, C)
     else:
         xp = jnp.concatenate([f, jnp.zeros((1, S * C), f.dtype)], 0)
-        need = [i for i, d in enumerate(_DIRS)
-                if tuple(d) != (0, 0, 0)
-                and all(h[a] > 0 or d[a] == 0 for a in range(3))]
-        idx = jnp.minimum(tt.nb_idx[jnp.asarray(need)], T)
-        nbs = _gather_rows(xp, idx).reshape(len(need), T, S * C)
-        pos = {tuple(_DIRS[i]): j for j, i in enumerate(need)}
-        pieces = []
+        # Enumerate the halo cells and group the off-tile ones by source
+        # direction. A neighbor contributes only its boundary cells (112
+        # of 26·32 for tile (2,4,4)) — gathering whole neighbor rows was
+        # 7.4x over-traffic and bounded the op (v5e bisect,
+        # tools/probe_subm_parts.py: the 26-row gather alone == the full
+        # conv's cost; gathers run ~150 GB/s regardless of row width).
+        # Per direction we gather ONLY the needed cells, as contiguous
+        # cell-column runs sliced off the table before the row gather —
+        # but only at C >= _RUN_SLICED_MIN_C: narrow runs pay the
+        # tile-padded-gather penalty instead (measured on v5e: full subm
+        # C16 3.5→7.4 ms WORSE, C32 4.8→2.2, C64 9.3→4.5, C128 4.5→1.7 ms).
+        run_sliced = C >= _RUN_SLICED_MIN_C
+        cells = []
         for z in range(-h[0], tz + h[0]):
             for y in range(-h[1], ty + h[1]):
                 for x in range(-h[2], tx + h[2]):
@@ -310,9 +352,45 @@ def subm_conv3d_tile(tt: TileTensor, weight, bias=None, kernel_size=3,
                     cz, cy, cx = (c - dd * t for c, dd, t
                                   in zip((z, y, x), d, t3))
                     cl = (cz * ty + cy) * tx + cx
-                    src = f if d == (0, 0, 0) else nbs[pos[d]]
-                    pieces.append(
-                        lax.slice_in_dim(src, cl * C, (cl + 1) * C, axis=1))
+                    cells.append((d, cl))
+        by_dir = {}
+        for d, cl in cells:
+            if d != (0, 0, 0):
+                by_dir.setdefault(d, set()).add(cl)
+        dir_idx = {tuple(dd): i for i, dd in enumerate(_DIRS)}
+        piece_src = {}
+        for d, cls_ in by_dir.items():
+            idx_d = jnp.minimum(tt.nb_idx[dir_idx[d]], T)
+            if not run_sliced:
+                g = jnp.take(xp, idx_d, axis=0)
+                for cl in cls_:
+                    piece_src[(d, cl)] = (g, cl)
+                continue
+            run_start = None
+            prev = None
+            runs = []
+            for cl in sorted(cls_):
+                if prev is not None and cl == prev + 1:
+                    prev = cl
+                    continue
+                if run_start is not None:
+                    runs.append((run_start, prev))
+                run_start = prev = cl
+            runs.append((run_start, prev))
+            for c0, c1 in runs:
+                src = lax.slice_in_dim(xp, c0 * C, (c1 + 1) * C, axis=1)
+                g = jnp.take(src, idx_d, axis=0)
+                for cl in range(c0, c1 + 1):
+                    piece_src[(d, cl)] = (g, cl - c0)
+        pieces = []
+        for d, cl in cells:
+            if d == (0, 0, 0):
+                pieces.append(
+                    lax.slice_in_dim(f, cl * C, (cl + 1) * C, axis=1))
+            else:
+                g, off = piece_src[(d, cl)]
+                pieces.append(
+                    lax.slice_in_dim(g, off * C, (off + 1) * C, axis=1))
         halo5 = _assemble(pieces, T,
                           (tz + 2 * h[0], ty + 2 * h[1], tx + 2 * h[2]), C)
     wk = weight.reshape(ks + (C, Cout)).astype(halo5.dtype)
@@ -320,9 +398,7 @@ def subm_conv3d_tile(tt: TileTensor, weight, bias=None, kernel_size=3,
     # f32 in hardware, the result is rounded to the table dtype right
     # below, and JAX's conv AD rejects mixed-dtype accumulation (the f32
     # cotangent would meet the bf16 weight in the transposed conv).
-    out = lax.conv_general_dilated(
-        halo5, wk, (1, 1, 1), 'VALID',
-        dimension_numbers=('NDHWC', 'DHWIO', 'NDHWC'))
+    out = _block_conv(halo5, wk, (1, 1, 1))
     out = out.astype(tt.features.dtype).reshape(T, S * Cout)
     if bias is not None:
         out = out + jnp.tile(bias.astype(out.dtype), S)
@@ -463,10 +539,7 @@ def sparse_conv3d_tile(tt: TileTensor, weight, bias=None, kernel_size=3,
     wk = weight.reshape(ks + (C, Cout)).astype(vwin.dtype)
     # no preferred_element_type: see the subm conv note (AD-compatible;
     # MXU accumulates bf16 in f32 regardless)
-    region = lax.conv_general_dilated(
-        vwin, wk, strd, 'VALID',
-        dimension_numbers=('NDHWC', 'DHWIO', 'NDHWC')).astype(
-            tt.features.dtype)
+    region = _block_conv(vwin, wk, strd).astype(tt.features.dtype)
     if bias is not None:
         region = region + bias.astype(region.dtype)
 
