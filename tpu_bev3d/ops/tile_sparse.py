@@ -513,29 +513,82 @@ def sparse_conv3d_tile(tt: TileTensor, weight, bias=None, kernel_size=3,
 
     f = _masked_flat(tt, compute_dtype)
     xp = jnp.concatenate([f, jnp.zeros((1, S * C), f.dtype)], 0)
-    rows = _gather_rows(xp, slots).reshape(J3, cap, S * C)
     mp = jnp.concatenate([tt.mask, jnp.zeros((1, S), bool)], 0)
     mrows = _gather_rows(mp, slots).reshape(J3, cap, S)
 
     b3 = tuple(J[i] * t3[i] for i in range(3))          # block dims
-    # one transpose assembles the receptive-field block (joffs are
-    # enumerated z-major, so the reshape below is exact); a per-cell
-    # lane-slice concat would be 864 operands and compiles very slowly
-    block = jnp.transpose(
-        rows.reshape(J + (cap, tz, ty, tx, C)),
-        (3, 0, 4, 1, 5, 2, 6, 7)).reshape((cap,) + b3 + (C,))
+    # mask block: whole-row gather + one transpose (bool rows are tiny)
     mblock = jnp.transpose(
         mrows.reshape(J + (cap, tz, ty, tx)),
         (3, 0, 4, 1, 5, 2, 6)).reshape((cap,) + b3)
 
-    # ---- value conv: slice window, strided VALID conv ----
-    off = tuple(-pad[i] - jlo[i] * t3[i] for i in range(3))
-    assert all(o >= 0 for o in off)
+    # ---- value window assembled DIRECTLY from per-contributor gathers.
+    # The old path gathered all J³ full contributor rows (2048 cells at
+    # stage-1 geometry), transposed them into the [cap, J·t] block, and
+    # sliced the conv window (405 cells) out — ~5x gather+materialize
+    # over-traffic, and the gather bounds the op (~150 GB/s engine; see
+    # the subm note). Here each window cell maps statically to a
+    # (contributor tile, cell) pair; per contributor we gather only the
+    # needed cell-column runs (width-gated like subm), and the window is
+    # one lane-slice concat with x-runs merged (~135 operands).
     wlen = tuple(strd[i] * (ot[i] - 1) + ks[i] for i in range(3))
-    assert all(off[i] + wlen[i] <= b3[i] for i in range(3))
-    vwin = lax.slice(block, (0,) + off + (0,),
-                     (cap, off[0] + wlen[0], off[1] + wlen[1],
-                      off[2] + wlen[2], C))
+
+    def _cell_of(w, i):
+        a = w - pad[i]
+        jo = a // t3[i]
+        return jo, a - jo * t3[i]
+
+    need_by_j = {}
+    wcells = []
+    for wz in range(wlen[0]):
+        jz, cz = _cell_of(wz, 0)
+        for wy in range(wlen[1]):
+            jy, cy = _cell_of(wy, 1)
+            for wx in range(wlen[2]):
+                jx, cx = _cell_of(wx, 2)
+                jj = (jz, jy, jx)
+                cl = (cz * ty + cy) * tx + cx
+                wcells.append((jj, cl))
+                need_by_j.setdefault(jj, set()).add(cl)
+    jindex = {tuple(j): i for i, j in enumerate(joffs)}
+    run_sliced = C >= _RUN_SLICED_MIN_C
+    gsrc = {}
+    for jj, cls_ in need_by_j.items():
+        sl_j = slots[jindex[jj]]
+        if not run_sliced or len(cls_) == S:
+            g = jnp.take(xp, sl_j, axis=0)
+            for cl in cls_:
+                gsrc[(jj, cl)] = (g, cl)
+            continue
+        run_start = prev = None
+        runs = []
+        for cl in sorted(cls_):
+            if prev is not None and cl == prev + 1:
+                prev = cl
+                continue
+            if run_start is not None:
+                runs.append((run_start, prev))
+            run_start = prev = cl
+        runs.append((run_start, prev))
+        for c0, c1 in runs:
+            g = jnp.take(lax.slice_in_dim(xp, c0 * C, (c1 + 1) * C,
+                                          axis=1), sl_j, axis=0)
+            for cl in range(c0, c1 + 1):
+                gsrc[(jj, cl)] = (g, cl - c0)
+    pieces = []
+    run = None                        # (g, off, length) of the open run
+    for jj, cl in wcells:
+        g, o = gsrc[(jj, cl)]
+        if run is not None and run[0] is g and o == run[1] + run[2]:
+            run = (g, run[1], run[2] + 1)
+            continue
+        if run is not None:
+            pieces.append(lax.slice_in_dim(
+                run[0], run[1] * C, (run[1] + run[2]) * C, axis=1))
+        run = (g, o, 1)
+    pieces.append(lax.slice_in_dim(
+        run[0], run[1] * C, (run[1] + run[2]) * C, axis=1))
+    vwin = _assemble(pieces, cap, wlen, C)
     wk = weight.reshape(ks + (C, Cout)).astype(vwin.dtype)
     # no preferred_element_type: see the subm conv note (AD-compatible;
     # MXU accumulates bf16 in f32 regardless)
@@ -544,6 +597,7 @@ def sparse_conv3d_tile(tt: TileTensor, weight, bias=None, kernel_size=3,
         region = region + bias.astype(region.dtype)
 
     # ---- active-set rule: max-pool over the block mask ----
+    off = tuple(-pad[i] - jlo[i] * t3[i] for i in range(3))   # window in block
     if rule == 'floor':
         moff = tuple(center[i] - pad[i] - jlo[i] * t3[i] for i in range(3))
         mwin = strd
