@@ -100,3 +100,77 @@ def test_precomputed_ranks_with_topk_match_dynamic():
                          dict(cam, geom_ranks=ranks))
     np.testing.assert_allclose(np.asarray(out_pre), np.asarray(out_dyn),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_geometry_at_bins_bit_exact():
+    """The bin-direct geometry path (get_geometry_at_bins, used by the
+    top-k lift to skip materializing the full [D] frustum) must be
+    BIT-identical to gathering get_geometry's full output along the bin
+    axis — same einsum chain, depth values gathered from the same
+    create_frustum table."""
+    B, N = 2, 3
+    rng = np.random.RandomState(3)
+    m = _build(4)
+    cam = _cam_params(B, N, rng)
+    # randomize the rig so the test isn't identity-only
+    cam['post_trans'] = jnp.asarray(
+        rng.randn(B, N, 3).astype(np.float32) * 0.1)
+    pr = np.tile(np.eye(3, dtype=np.float32), (B, N, 1, 1))
+    pr[:, :, 0, 0] = 1.0 + 0.1 * rng.rand(B, N)
+    cam['post_rots'] = jnp.asarray(pr)
+    aug = np.tile(np.eye(4, dtype=np.float32), (B, 1, 1))
+    aug[:, :3, 3] = rng.randn(B, 3).astype(np.float32)
+    cam['lidar_aug'] = jnp.asarray(aug)
+
+    fH, fW = m.feature_size
+    topi = jnp.asarray(rng.randint(0, m.D, (B, N, fH, fW, 4)), jnp.int32)
+
+    full = m.get_geometry(cam['cam2lidar'], cam['intrins'],
+                          cam['post_rots'], cam['post_trans'],
+                          cam['lidar_aug'])
+    gathered = jnp.take_along_axis(
+        jnp.transpose(full, (0, 1, 3, 4, 2, 5)), topi[..., None], axis=4)
+    direct = m.get_geometry_at_bins(topi, cam)
+    assert np.array_equal(np.asarray(direct), np.asarray(gathered))
+
+
+def test_topk_lift_matches_gathered_geom_path():
+    """End-to-end: the top-k forward (which now computes geometry only
+    at the kept bins) must exactly reproduce the old
+    full-geometry+gather formulation."""
+    B, N = 1, 2
+    rng = np.random.RandomState(11)
+    img = rng.randn(B, N, 8, 22, 16).astype(np.float32)
+    cam = _cam_params(B, N, rng)
+    m = _build(5)
+    variables = m.init(jax.random.PRNGKey(0), jnp.asarray(img), cam)
+    out_new, dl = m.apply(variables, jnp.asarray(img), cam)
+
+    # old formulation: full geometry, transpose + gather inside
+    # lift_and_pool (geom is not None -> takes the gather branch)
+    geom = m.apply(variables, cam['cam2lidar'], cam['intrins'],
+                   cam['post_rots'], cam['post_trans'], None,
+                   method=type(m).get_geometry)
+    out_old = m.apply(
+        variables, dl,
+        method=lambda mm, dlg: mm.lift_and_pool(
+            dlg,
+            _feats_of(mm, variables, img, cam),
+            geom, cam_params=cam))
+    a, b = np.asarray(out_new), np.asarray(out_old)
+    assert np.array_equal(a, b)
+
+
+def _feats_of(mm, variables, img, cam):
+    """Recompute the context features exactly as LSSTransform.__call__
+    does (depthnet output channels past D)."""
+    import flax.linen as nn_
+    B, N, fH, fW, C = img.shape
+    x = jnp.asarray(img).reshape(B * N, fH, fW, C)
+    kernel = variables['params']['depthnet']['kernel']
+    bias = variables['params']['depthnet']['bias']
+    y = jax.lax.conv_general_dilated(
+        x, kernel, (1, 1), 'VALID',
+        dimension_numbers=('NHWC', 'HWIO', 'NHWC')) + bias
+    y = y.reshape(B, N, fH, fW, -1)
+    return y[..., mm.D:]

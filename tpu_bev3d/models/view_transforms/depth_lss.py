@@ -73,6 +73,34 @@ class BaseLSS(nn.Module):
         ys = np.broadcast_to(ys, (D, fH, fW))
         return jnp.asarray(np.stack([xs, ys, ds], -1))
 
+    def _apply_geometry(self, pts, cam2lidar, intrins, post_rots,
+                        post_trans, lidar_aug=None):
+        """Image-frame frustum points [B, N, ..., 3] → lidar frame.
+        The exact chain of ref get_geometry:68-116 with shape-agnostic
+        middle dims (every step is pointwise over the frustum points, so
+        any subset/ordering of bins gives bit-identical coordinates)."""
+        # geometry must be exact fp32: TPU einsums default to bf16 MXU
+        # passes, which costs ~0.4 m at frustum scale and reshuffles BEV
+        # cell assignment vs the reference (checkpoint-parity blocker)
+        hi = jax.lax.Precision.HIGHEST
+        B, N = pts.shape[:2]
+        mid = pts.shape[2:-1]
+        p = pts.reshape(B, N, -1, 3)
+        p = p - post_trans[:, :, None, :]
+        inv_post = jnp.linalg.inv(post_rots)              # [B,N,3,3]
+        p = jnp.einsum('bnij,bnmj->bnmi', inv_post, p, precision=hi)
+        # undo perspective: (u, v, d) → (u*d, v*d, d)
+        p = jnp.concatenate([p[..., :2] * p[..., 2:3], p[..., 2:3]], -1)
+        combine = jnp.einsum('bnij,bnjk->bnik', cam2lidar[..., :3, :3],
+                             jnp.linalg.inv(intrins), precision=hi)
+        p = jnp.einsum('bnij,bnmj->bnmi', combine, p, precision=hi) \
+            + cam2lidar[:, :, None, :3, 3]
+        if lidar_aug is not None:
+            p = jnp.einsum('bij,bnmj->bnmi', lidar_aug[:, :3, :3], p,
+                           precision=hi) \
+                + lidar_aug[:, None, None, :3, 3]
+        return p.reshape(B, N, *mid, 3)
+
     def get_geometry(self, cam2lidar, intrins, post_rots, post_trans,
                      lidar_aug=None):
         """Frustum → lidar-frame coords [B, N, D, fH, fW, 3].
@@ -81,26 +109,34 @@ class BaseLSS(nn.Module):
         cam2lidar [B,N,4,4]; intrins [B,N,3,3]; post_rots [B,N,3,3];
         post_trans [B,N,3]; lidar_aug [B,4,4] or None.
         """
-        # geometry must be exact fp32: TPU einsums default to bf16 MXU
-        # passes, which costs ~0.4 m at frustum scale and reshuffles BEV
-        # cell assignment vs the reference (checkpoint-parity blocker)
-        hi = jax.lax.Precision.HIGHEST
         frustum = self.create_frustum()                   # [D,fH,fW,3]
-        pts = frustum[None, None] - post_trans[:, :, None, None, None, :]
-        inv_post = jnp.linalg.inv(post_rots)              # [B,N,3,3]
-        pts = jnp.einsum('bnij,bndhwj->bndhwi', inv_post, pts, precision=hi)
-        # undo perspective: (u, v, d) → (u*d, v*d, d)
-        pts = jnp.concatenate([pts[..., :2] * pts[..., 2:3], pts[..., 2:3]],
-                              -1)
-        combine = jnp.einsum('bnij,bnjk->bnik', cam2lidar[..., :3, :3],
-                             jnp.linalg.inv(intrins), precision=hi)
-        pts = jnp.einsum('bnij,bndhwj->bndhwi', combine, pts, precision=hi) \
-            + cam2lidar[:, :, None, None, None, :3, 3]
-        if lidar_aug is not None:
-            pts = jnp.einsum('bij,bndhwj->bndhwi', lidar_aug[:, :3, :3], pts,
-                             precision=hi) \
-                + lidar_aug[:, None, None, None, None, :3, 3]
-        return pts
+        B, N = cam2lidar.shape[:2]
+        pts = jnp.broadcast_to(frustum[None, None],
+                               (B, N) + frustum.shape)
+        return self._apply_geometry(pts, cam2lidar, intrins, post_rots,
+                                    post_trans, lidar_aug)
+
+    def get_geometry_at_bins(self, topi, cam_params):
+        """Lidar-frame geometry ONLY at the selected depth bins:
+        [B,N,fH,fW,k,3] for bin indices topi [B,N,fH,fW,k].
+
+        Bit-identical to gathering get_geometry's full [D] output along
+        the bin axis (the chain is pointwise per frustum point; depth
+        values are GATHERED from create_frustum's own table so they match
+        to the last ulp) — but skips materializing + transposing the
+        [B,N,D,fH,fW,3] tensor and its minor-axis gather, measured 4.7 ms
+        → 0.6 ms at flagship scale (tools/probe_vt_parts.py)."""
+        frustum = self.create_frustum()                   # [D,fH,fW,3]
+        xy = frustum[0, ..., :2]                          # [fH,fW,2]
+        ds = frustum[:, 0, 0, 2][topi]                    # [B,N,fH,fW,k]
+        B, N, fH, fW, k = topi.shape
+        xy_b = jnp.broadcast_to(xy[None, None, :, :, None, :],
+                                (B, N, fH, fW, k, 2))
+        pts = jnp.concatenate([xy_b, ds[..., None]], -1)
+        return self._apply_geometry(
+            pts, cam_params['cam2lidar'], cam_params['intrins'],
+            cam_params['post_rots'], cam_params['post_trans'],
+            cam_params.get('lidar_aug'))
 
     def precompute_bev_ranks(self, cam_params):
         """Deploy fast path (ref depth_lss.py:249-252,455-476): geometry
@@ -118,7 +154,7 @@ class BaseLSS(nn.Module):
             (nx, ny, nz))
 
     def lift_and_pool(self, depth_logits, feats, geom, geom_ranks=None,
-                      depth_gt_distr=None):
+                      depth_gt_distr=None, cam_params=None):
         """softmax(depth) ⊗ feats → bev_pool.
 
         depth_logits [B,N,fH,fW,D]; feats [B,N,fH,fW,C];
@@ -167,9 +203,14 @@ class BaseLSS(nn.Module):
                     frustum_feats.reshape(B, -1, feats.shape[-1]),
                     r.reshape(B, -1), bev_shape=(nx, ny, nz),
                     accum_dtype=jnp.float32), (0, 2, 3, 1))
-            # gather the matching geometry rows: geom is [B,N,D,fH,fW,3]
-            g = jnp.transpose(geom, (0, 1, 3, 4, 2, 5))  # [B,N,fH,fW,D,3]
-            g = jnp.take_along_axis(g, topi[..., None], axis=4)
+            if geom is None:
+                # compute geometry ONLY at the kept bins — bit-identical
+                # to the gather below, 4 ms cheaper at flagship scale
+                g = self.get_geometry_at_bins(topi, cam_params)
+            else:
+                # gather the matching rows: geom is [B,N,D,fH,fW,3]
+                g = jnp.transpose(geom, (0, 1, 3, 4, 2, 5))
+                g = jnp.take_along_axis(g, topi[..., None], axis=4)
             return jnp.transpose(bev_pool(
                 frustum_feats, g,
                 bev_start=(self.xbound[0], self.ybound[0], self.zbound[0]),
@@ -295,12 +336,15 @@ class LSSTransform(BaseLSS):
             feats = feats * cam_params['camera_mask'][
                 :, :, None, None, None].astype(feats.dtype)
         geom_ranks = cam_params.get('geom_ranks')
-        geom = None if geom_ranks is not None else self.get_geometry(
-            cam_params['cam2lidar'], cam_params['intrins'],
-            cam_params['post_rots'], cam_params['post_trans'],
-            cam_params.get('lidar_aug'))
+        geom = None if (geom_ranks is not None
+                        or 0 < self.depth_topk < self.D) \
+            else self.get_geometry(
+                cam_params['cam2lidar'], cam_params['intrins'],
+                cam_params['post_rots'], cam_params['post_trans'],
+                cam_params.get('lidar_aug'))
         out = self.lift_and_pool(depth_logits, feats, geom,
-                                 geom_ranks=geom_ranks)
+                                 geom_ranks=geom_ranks,
+                                 cam_params=cam_params)
         out = out.astype(img_feats.dtype)  # leave the fp32 island
         if self.downsample > 1:
             out = ConvBNAct(out.shape[-1], 3, padding=1, bn_eps=1e-5,
@@ -346,6 +390,13 @@ class DepthLSSTransform(BaseLSS):
                       bn_eps=1e-5, name='dt1')(d, train)
         d = ConvBNAct(64, 5, stride=2, padding=2, bias=True,
                       bn_eps=1e-5, name='dt2')(d, train)
+        # cast the depth branch to the image-feature dtype BEFORE the
+        # concat: without it the f32 depth maps silently promote the
+        # whole depthnet + the [B,N,fH,fW,k,C] lift outer product to f32
+        # even under compute_dtype=bfloat16 (the fp32 island is the
+        # GEOMETRY + scatter accumulation, not the learned convs). The
+        # faithful config runs f32 features so this is a no-op there.
+        d = d.astype(img_feats.dtype)
         x = jnp.concatenate([d, img_feats.reshape(B * N, fH, fW, C)], -1)
         # depthnet (ref :593-600: three 3×3 convs then 1×1 to D+C)
         x = ConvBNAct(self.in_channels, 3, padding=1, bias=True,
@@ -360,17 +411,20 @@ class DepthLSSTransform(BaseLSS):
             feats = feats * cam_params['camera_mask'][
                 :, :, None, None, None].astype(feats.dtype)
         geom_ranks = cam_params.get('geom_ranks')
-        geom = None if geom_ranks is not None else self.get_geometry(
-            cam_params['cam2lidar'], cam_params['intrins'],
-            cam_params['post_rots'], cam_params['post_trans'],
-            cam_params.get('lidar_aug'))
+        geom = None if (geom_ranks is not None
+                        or 0 < self.depth_topk < self.D) \
+            else self.get_geometry(
+                cam_params['cam2lidar'], cam_params['intrins'],
+                cam_params['post_rots'], cam_params['post_trans'],
+                cam_params.get('lidar_aug'))
         gt_distr = None
         if train and self.depth_calibration:
             gt_distr, _ = gt_depth_histogram(depth_map, (fH, fW),
                                              tuple(self.dbound))
         out = self.lift_and_pool(depth_logits, feats, geom,
                                  geom_ranks=geom_ranks,
-                                 depth_gt_distr=gt_distr)
+                                 depth_gt_distr=gt_distr,
+                                 cam_params=cam_params)
         out = out.astype(img_feats.dtype)  # leave the fp32 island
         if self.downsample > 1:
             c = out.shape[-1]
