@@ -9,12 +9,12 @@ import pytest
 from tpu_bev3d.models.view_transforms.depth_lss import LSSTransform
 
 
-def _build(k):
+def _build(k, **kw):
     return LSSTransform(
         in_channels=16, out_channels=8, image_size=(32, 88),
         feature_size=(8, 22), xbound=(-10., 10., 0.5),
         ybound=(-10., 10., 0.5), zbound=(-10., 10., 20.),
-        dbound=(1., 13., 1.0), downsample=1, depth_topk=k)
+        dbound=(1., 13., 1.0), downsample=1, depth_topk=k, **kw)
 
 
 def _cam_params(B, N, rng):
@@ -135,14 +135,14 @@ def test_geometry_at_bins_bit_exact():
 
 
 def test_topk_lift_matches_gathered_geom_path():
-    """End-to-end: the top-k forward (which now computes geometry only
-    at the kept bins) must exactly reproduce the old
+    """End-to-end: the gated geom_at_bins=True forward (geometry only
+    at the kept bins) must exactly reproduce the default
     full-geometry+gather formulation."""
     B, N = 1, 2
     rng = np.random.RandomState(11)
     img = rng.randn(B, N, 8, 22, 16).astype(np.float32)
     cam = _cam_params(B, N, rng)
-    m = _build(5)
+    m = _build(5, geom_at_bins=True)
     variables = m.init(jax.random.PRNGKey(0), jnp.asarray(img), cam)
     out_new, dl = m.apply(variables, jnp.asarray(img), cam)
 

@@ -50,6 +50,16 @@ class BaseLSS(nn.Module):
     # semantics). Cuts the BEV scatter rows D/k-fold — the pool scatter is
     # the view transform's dominant cost on TPU (tools/profile_blocks.py).
     depth_topk: int = 0
+    # With depth_topk active, compute geometry ONLY at the selected bins
+    # (get_geometry_at_bins) instead of full-[D] + gather. Bit-identical,
+    # and 8x cheaper STANDALONE (probe: 4.7 -> 0.6 ms) — but a measured
+    # FULL-MODEL regression on the flagship (30.9 -> ~27 fps certified
+    # A/B): the full-[D] geometry depends only on cam params, so XLA
+    # hoists/CSEs it across the protocol scan, while the bin-direct
+    # version is data-dependent on top-k indices and must recompute per
+    # frame. Default OFF; useful when cam params genuinely change every
+    # frame AND memory for the [B,N,D,fH,fW,3] tensor is tight.
+    geom_at_bins: bool = False
 
     @property
     def D(self):
@@ -337,7 +347,8 @@ class LSSTransform(BaseLSS):
                 :, :, None, None, None].astype(feats.dtype)
         geom_ranks = cam_params.get('geom_ranks')
         geom = None if (geom_ranks is not None
-                        or 0 < self.depth_topk < self.D) \
+                        or (self.geom_at_bins
+                            and 0 < self.depth_topk < self.D)) \
             else self.get_geometry(
                 cam_params['cam2lidar'], cam_params['intrins'],
                 cam_params['post_rots'], cam_params['post_trans'],
@@ -412,7 +423,8 @@ class DepthLSSTransform(BaseLSS):
                 :, :, None, None, None].astype(feats.dtype)
         geom_ranks = cam_params.get('geom_ranks')
         geom = None if (geom_ranks is not None
-                        or 0 < self.depth_topk < self.D) \
+                        or (self.geom_at_bins
+                            and 0 < self.depth_topk < self.D)) \
             else self.get_geometry(
                 cam_params['cam2lidar'], cam_params['intrins'],
                 cam_params['post_rots'], cam_params['post_trans'],
