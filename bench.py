@@ -31,47 +31,77 @@ def main():
     from __graft_entry__ import entry
 
     fn, (variables, batch) = entry()
-    jfn = jax.jit(fn)
 
-    # distinct pre-uploaded batches (device_put from host — lazily computed
-    # device inputs have produced bogus timings through the tunnel; identical
-    # repeated args get memoized by the tunnel, so EVERY iteration gets its
-    # own input)
     import numpy as np
+    import jax.numpy as jnp
     n_iter = 12
-    host_pts = np.asarray(batch['points'])
-    batches = [batch]
-    for i in range(1, n_iter):
-        b = dict(batch)
-        b['points'] = jax.device_put(host_pts + np.float32(0.001 * i))
-        batches.append(b)
-
-    # warmup / compile + first-use of every input buffer
-    for b in batches:
-        jax.block_until_ready(jfn(variables, b))
-
-    # throughput protocol: enqueue all frames, then block on each output in
-    # submission order. The device executes back-to-back; the ~23 ms
-    # host<->device RTT of this remote-TPU tunnel is paid once instead of
-    # per frame (the reference's per-iter torch.cuda.synchronize costs
-    # microseconds on a local GPU — paying a remote tunnel round trip per
-    # frame would measure the tunnel, not the chip).
-    #
-    # The protocol itself is repeated: a single shot is fragile on a
-    # 1-CPU host (BENCH_r02 run 2 recorded 26.65 fps, 17% below the idle
-    # band, from background noise alone). Median of n_rep runs + spread
-    # in the JSON so one poisoned run can't become the round's number.
-    bsz = batch['points'].shape[0]
     n_rep = 5
-    fps_runs = []
-    for _ in range(n_rep):
-        t0 = time.perf_counter()
-        outs = [jfn(variables, batches[i]) for i in range(n_iter)]
-        for o in outs:
-            jax.block_until_ready(o)
-        dt = time.perf_counter() - t0
-        fps_runs.append(n_iter * bsz / dt)
-    fps_runs.sort()
+    bsz = batch['points'].shape[0]
+
+    # Scan-chained throughput (same instrument as tools/benchmark.py,
+    # see docs/benchmarks.md): ONE jitted call runs all n_iter frames
+    # back-to-back in a lax.scan and returns a single reduction that is
+    # hard-read back. The per-call alternative (enqueue 12 calls, block
+    # once) additionally measures the 1-CPU host's dispatch path through
+    # the remote tunnel: a lidar-only flagship with ~9 ms of device work
+    # read 31.8 ms/frame under it — dispatch-bound, not device-bound. A
+    # local chip's host would not have that overhead; the scan protocol
+    # measures the chip. Set TPU_BEV3D_BENCH_PROTOCOL=calls for the old
+    # per-call protocol.
+    #
+    # Every rep×frame gets DISTINCT points (the tunnel memoizes repeated
+    # identical whole-call args, and identical per-frame inputs are not
+    # representative).
+    host_pts = np.asarray(batch['points'])
+
+    def stacked_for_rep(r):
+        pts = np.stack([host_pts[0] + np.float32(0.001 * (r * n_iter + i))
+                        for i in range(n_iter)])[:, None]
+        leaves = {k: jnp.stack([v] * n_iter) for k, v in batch.items()
+                  if k != 'points'}
+        leaves['points'] = jax.device_put(pts)
+        return leaves
+
+    @jax.jit
+    def run_all(v, bs):
+        def body(carry, b):
+            out = fn(v, b)
+            acc = sum(jnp.sum(jnp.abs(l).astype(jnp.float32))
+                      for l in jax.tree_util.tree_leaves(out)
+                      if jnp.issubdtype(l.dtype, jnp.floating))
+            return carry + acc, 0
+        acc, _ = jax.lax.scan(body, jnp.float32(0), bs)
+        return acc
+
+    if os.environ.get('TPU_BEV3D_BENCH_PROTOCOL') == 'calls':
+        jfn = jax.jit(fn)
+        batches = [batch]
+        for i in range(1, n_iter):
+            b = dict(batch)
+            b['points'] = jax.device_put(host_pts + np.float32(0.001 * i))
+            batches.append(b)
+        for b in batches:
+            jax.block_until_ready(jfn(variables, b))
+        fps_runs = []
+        for _ in range(n_rep):
+            t0 = time.perf_counter()
+            outs = [jfn(variables, batches[i]) for i in range(n_iter)]
+            for o in outs:
+                jax.block_until_ready(o)
+            fps_runs.append(n_iter * bsz / (time.perf_counter() - t0))
+        fps_runs.sort()
+    else:
+        reps = [stacked_for_rep(r) for r in range(n_rep + 1)]
+        _ = float(run_all(variables, reps[0]))     # compile + warm
+        # The protocol is repeated: a single shot is fragile on a 1-CPU
+        # host (BENCH_r02 run 2 recorded 26.65 fps from background noise
+        # alone). Median of n_rep runs + spread in the JSON.
+        fps_runs = []
+        for r in range(1, n_rep + 1):
+            t0 = time.perf_counter()
+            _ = float(run_all(variables, reps[r]))
+            fps_runs.append(n_iter * bsz / (time.perf_counter() - t0))
+        fps_runs.sort()
     fps = fps_runs[n_rep // 2]
     spread = (fps_runs[-1] - fps_runs[0]) / fps
     if spread > 0.15:

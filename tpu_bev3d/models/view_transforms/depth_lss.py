@@ -60,6 +60,13 @@ class BaseLSS(nn.Module):
     # frame. Default OFF; useful when cam params genuinely change every
     # frame AND memory for the [B,N,D,fH,fW,3] tensor is tight.
     geom_at_bins: bool = False
+    # Use jax.lax.approx_max_k (the TPU-native approximate top-k unit)
+    # instead of the sort-based lax.top_k for the bin selection.
+    # Semantics: may occasionally keep a bin from just outside the true
+    # top-k (recall_target=0.95 per op docs); the lift is already an
+    # approximation (renormalized truncation), so this only matters if
+    # the full-model A/B shows a win. OFF by default.
+    topk_approx: bool = False
 
     @property
     def D(self):
@@ -189,7 +196,11 @@ class BaseLSS(nn.Module):
         if 0 < self.depth_topk < self.D:
             # sparsified lift: keep the k most likely depth bins per pixel
             k = self.depth_topk
-            topv, topi = jax.lax.top_k(depth, k)        # [B,N,fH,fW,k]
+            if self.topk_approx:
+                topv, topi = jax.lax.approx_max_k(depth, k)
+                topi = topi.astype(jnp.int32)
+            else:
+                topv, topi = jax.lax.top_k(depth, k)    # [B,N,fH,fW,k]
             # renormalize so the kept mass still sums to 1
             topv = topv / jnp.maximum(
                 jnp.sum(topv, -1, keepdims=True), 1e-6)
