@@ -4,9 +4,10 @@ class_names = ['Pedestrian', 'Cyclist', 'Car']
 
 model = dict(
     type='MonoFlex',
-    img_backbone=dict(type='DLA', depths=(1, 1, 1, 2, 2, 1),
-                      channels=(16, 32, 64, 128, 256, 512)),
-    img_neck=dict(type='GeneralizedLSSFPN', in_channels=[128, 256, 512],
+    img_backbone=dict(type='DLA', levels=(1, 1, 1, 2, 2, 1),
+                      channels=(16, 32, 64, 128, 256, 512),
+                      out_indices=(2, 3, 4, 5)),
+    img_neck=dict(type='GeneralizedLSSFPN', in_channels=[64, 128, 256, 512],
                   out_channels=64, num_outs=1),
     bbox_head=dict(
         type='MonoFlexHead',

@@ -70,7 +70,7 @@ def main():
     out = vis.draw_proj_bboxes_on_image(
         img, res['bboxes'][keep], np.concatenate(
             [K, np.zeros((3, 1), np.float32)], -1),
-        labels=res['labels'][keep], box_frame='camera',
+        box_frame='camera',
         out_file=os.path.join(args.out_dir, 'mono_det.png'))
     print(f'wrote {out}')
 

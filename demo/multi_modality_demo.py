@@ -74,8 +74,8 @@ def main():
         print(f'  cls={int(l)} score={s:.3f} box={np.round(b, 2)}')
 
     os.makedirs(args.out_dir, exist_ok=True)
-    ve = model.cfg.model.get('voxel_encoder', {}) or {}
-    dim = int(ve.get('in_channels', ve.get('num_features', 5)))
+    from tpu_bev3d.apis.inference import _point_dim
+    dim = _point_dim(model.cfg)
     pts = np.fromfile(args.pcd, np.float32).reshape(-1, dim)
     vis = Det3DVisualizer()
     pcr = model.cfg.model.point_cloud_range

@@ -35,8 +35,8 @@ def main():
         print(f'  {name}: {c}')
 
     os.makedirs(args.out_dir, exist_ok=True)
-    ve = model.cfg.model.get('voxel_encoder', {}) or {}
-    dim = int(ve.get('in_channels', ve.get('num_features', 4)))
+    from tpu_bev3d.apis.inference import _point_dim
+    dim = _point_dim(model.cfg)
     pts = np.fromfile(args.pcd, np.float32).reshape(-1, dim)[:len(labels)]
     vis = Det3DVisualizer(classes=classes)
     pcr = model.cfg.model.get('point_cloud_range',

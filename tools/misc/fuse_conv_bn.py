@@ -33,8 +33,22 @@ def _is_bn_scope(pdict, sdict):
             and isinstance(sdict, dict) and set(sdict) >= {'mean', 'var'})
 
 
+def _is_conv_scope(pdict):
+    """A leaf conv/dense scope: exactly kernel (+ optional bias), kernel
+    with output channels LAST (flax Conv/ConvTranspose/Dense layout)."""
+    return (isinstance(pdict, dict) and 'kernel' in pdict
+            and getattr(pdict.get('kernel'), 'ndim', 0) >= 2
+            and set(pdict) <= {'kernel', 'bias'})
+
+
 def fuse_tree(params, batch_stats, eps=BN_EPS_DEFAULT):
-    """Returns (params', batch_stats', n_fused). Pure function of trees."""
+    """Returns (params', batch_stats', n_fused). Pure function of trees.
+
+    Fuses sibling child scopes: a module scope holding exactly one conv
+    child (``Conv_0/{kernel}``, ``ConvTranspose_0``, ``Dense_0``) and one
+    BN child (``BatchNorm_0``/``MaskedBatchNorm_0``: scale/bias params +
+    mean/var stats) — the ConvBNAct layout every conv block in this repo
+    uses (tpu_bev3d/models/layers/common.py:23)."""
     import numpy as np
 
     n_fused = 0
@@ -45,15 +59,11 @@ def fuse_tree(params, batch_stats, eps=BN_EPS_DEFAULT):
             return p, s
         p = dict(p)
         s = dict(s) if isinstance(s, dict) else {}
-        # find conv kernel + BN child in THIS scope
-        kernel_key = 'kernel' if ('kernel' in p
-                                  and getattr(p['kernel'], 'ndim', 0) >= 2) \
-            else None
-        bn_keys = [k for k in p
-                   if _is_bn_scope(p.get(k), s.get(k))]
-        if kernel_key and len(bn_keys) == 1:
-            bn = bn_keys[0]
-            k = np.asarray(p[kernel_key])
+        conv_keys = [k for k in p if _is_conv_scope(p[k])]
+        bn_keys = [k for k in p if _is_bn_scope(p.get(k), s.get(k))]
+        if len(conv_keys) == 1 and len(bn_keys) == 1:
+            ck, bn = conv_keys[0], bn_keys[0]
+            k = np.asarray(p[ck]['kernel'])
             cout = k.shape[-1]
             scale = np.asarray(p[bn]['scale'])
             if scale.shape == (cout,):
@@ -61,15 +71,20 @@ def fuse_tree(params, batch_stats, eps=BN_EPS_DEFAULT):
                 var = np.asarray(s[bn]['var'])
                 bias_bn = np.asarray(p[bn]['bias'])
                 f = scale / np.sqrt(var + eps)
-                p[kernel_key] = (k * f).astype(k.dtype)
+                conv = dict(p[ck], kernel=(k * f).astype(k.dtype))
+                shift = mean * f
+                if 'bias' in conv:
+                    conv['bias'] = (np.asarray(conv['bias']) * f).astype(
+                        k.dtype)
+                p[ck] = conv
                 p[bn] = dict(p[bn], scale=np.ones_like(scale),
-                             bias=(bias_bn - mean * f).astype(
-                                 bias_bn.dtype))
+                             bias=(bias_bn - shift).astype(bias_bn.dtype))
                 s[bn] = dict(s[bn], mean=np.zeros_like(mean),
                              var=np.full_like(var, 1.0 - eps))
                 n_fused += 1
         for key in list(p):
-            if isinstance(p[key], dict) and key not in bn_keys:
+            if isinstance(p[key], dict) and key not in bn_keys \
+                    and not _is_conv_scope(p[key]):
                 p[key], snew = rec(p[key], s.get(key, {}))
                 if key in s or snew:
                     s[key] = snew

@@ -14,9 +14,17 @@ from ..config import Config
 
 
 def _point_dim(cfg) -> int:
-    """Raw point feature count from the voxel-encoder config."""
-    ve = cfg.model.get('voxel_encoder', {}) or {}
-    return int(ve.get('in_channels', ve.get('num_features', 4)))
+    """Raw point feature count from the model config: the voxel encoder's
+    in_channels, else the middle encoder's (models like the flagship
+    BEVColumnEncoder consume raw points directly), else cfg.point_dim."""
+    m = cfg.model
+    ve = m.get('voxel_encoder', {}) or {}
+    if 'in_channels' in ve or 'num_features' in ve:
+        return int(ve.get('in_channels', ve.get('num_features')))
+    me = m.get('middle_encoder', {}) or {}
+    if 'in_channels' in me:
+        return int(me['in_channels'])
+    return int(cfg.get('point_dim', 4))
 
 
 class InferenceModel:
@@ -34,6 +42,66 @@ class InferenceModel:
         return self._predict(self.variables, batch)
 
 
+_MONO_TYPES = ('SMOKEMono3D', 'FCOSMono3D', 'MonoFlex')
+
+
+def _mono_image_hw(cfg) -> tuple:
+    """Init image size for mono models: the test pipeline's AffineResize
+    img_scale (W, H) when present, else a KITTI-shaped default."""
+    try:
+        pipe = cfg.test_dataloader['dataset']['pipeline']
+    except Exception:
+        pipe = []
+    for t in pipe:
+        if 'img_scale' in t:
+            w, h = t['img_scale']
+            return int(h), int(w)
+    return 384, 1280
+
+
+def _make_init_batch(cfg):
+    """Modality-appropriate synthetic init batch (the init params tree
+    must contain every branch the inference batch will exercise — a
+    lidar-only init would silently skip the camera branch of fusion
+    models and fail at predict time)."""
+    import numpy as np
+    from ..testing import create_detector_inputs, create_multimodal_inputs
+
+    m = cfg.model
+    t = m.get('type', '')
+    pcr = tuple(m.get('point_cloud_range', (-54, -54, -5, 54, 54, 3)))
+    if 'img_backbone' not in m:
+        return create_detector_inputs(
+            batch_size=1, num_points=1024, point_dim=_point_dim(cfg),
+            pc_range=pcr)
+    K = np.array([[320., 0., 160.], [0., 320., 96.], [0., 0., 1.]],
+                 np.float32)
+    if t in _MONO_TYPES:
+        h, w = _mono_image_hw(cfg)
+        rng = np.random.default_rng(0)
+        return dict(imgs=rng.normal(size=(1, h, w, 3)).astype(np.float32),
+                    cam2img=K[None])
+    if t == 'DfM':
+        rng = np.random.default_rng(0)
+        return dict(imgs=rng.normal(size=(1, 2, 192, 320, 3)
+                                    ).astype(np.float32),
+                    cam2img=K[None])
+    if t == 'YOLOX2D':
+        rng = np.random.default_rng(0)
+        return dict(imgs=rng.normal(size=(1, 256, 448, 3)
+                                    ).astype(np.float32))
+    # multi-camera (PETR/StreamPETR/ImVoxelNet) and LiDAR+camera fusion
+    # (BEVFusion/MVXNet): full calibration stacks
+    vt = m.get('view_transform', {}) or {}
+    image_size = tuple(vt.get('image_size', (256, 704)))
+    batch = create_multimodal_inputs(
+        batch_size=1, num_points=1024, point_dim=_point_dim(cfg),
+        image_size=image_size, pc_range=pcr)
+    if t == 'StreamPETR':
+        batch['ego_motion'] = np.eye(4, dtype=np.float32)[None]
+    return batch
+
+
 def init_model(config: Union[str, Config],
                checkpoint: Optional[str] = None,
                rng_seed: int = 0) -> InferenceModel:
@@ -42,15 +110,10 @@ def init_model(config: Union[str, Config],
     import jax.numpy as jnp
     import tpu_bev3d.models  # noqa: F401
     from ..registry import MODELS
-    from ..testing import create_detector_inputs
 
     cfg = Config.fromfile(config) if isinstance(config, str) else config
     model = MODELS.build(dict(cfg.model))
-    pcr = tuple(cfg.model.get('point_cloud_range',
-                              (-54, -54, -5, 54, 54, 3)))
-    init_batch = create_detector_inputs(
-        batch_size=1, num_points=1024, point_dim=_point_dim(cfg),
-        pc_range=pcr)
+    init_batch = _make_init_batch(cfg)
     init_batch = {k: jnp.asarray(v) for k, v in init_batch.items()}
     variables = jax.jit(
         lambda r, b: model.init(r, b, mode='tensor'))(

@@ -62,10 +62,9 @@ class LidarDet3DInferencer(Base3DInferencer):
         for i, (inp, res) in enumerate(zip(items, results)):
             pts = None
             if isinstance(inp, str):
-                ve = self.model.cfg.model.get('voxel_encoder', {}) or {}
-                dim = int(ve.get('in_channels',
-                                 ve.get('num_features', 4)))
-                pts = np.fromfile(inp, np.float32).reshape(-1, dim)
+                from .inference import _point_dim
+                pts = np.fromfile(inp, np.float32).reshape(
+                    -1, _point_dim(self.model.cfg))
             elif isinstance(inp, np.ndarray):
                 pts = inp
             keep = res['scores'] > score_thr
