@@ -19,6 +19,9 @@ def main():
     p.add_argument('--checkpoint', default=None)
     p.add_argument('--out-dir', default='demo_out')
     p.add_argument('--score-thr', type=float, default=0.3)
+    p.add_argument('--show', action='store_true',
+                   help='also open an interactive 3D window when a '
+                        'display is available (ref demo --show)')
     args = p.parse_args()
 
     import numpy as np
@@ -44,6 +47,10 @@ def main():
                        out_file=os.path.join(args.out_dir, 'bev.png'),
                        pc_range=(pcr[0], pcr[1], pcr[3], pcr[4]))
     print(f'wrote {out}')
+    out3d = vis.draw_points_3d(
+        pts[:, :3], pred_bboxes=res['bboxes'][keep], show=args.show,
+        out_file=os.path.join(args.out_dir, 'scene3d.png'))
+    print(f'wrote {out3d}')
 
 
 if __name__ == '__main__':

@@ -93,9 +93,11 @@ def pp_cfg(ws):
 def test_pcd_demo(ws, pp_cfg, tmp_path):
     r = _run([os.path.join(REPO, 'demo', 'pcd_demo.py'),
               str(ws / 'cloud.bin'), pp_cfg,
-              '--out-dir', str(tmp_path), '--score-thr', '0.0'])
+              '--out-dir', str(tmp_path), '--score-thr', '0.0',
+              '--show'])  # no DISPLAY here: must fall back headless
     assert r.returncode == 0, r.stderr[-3000:]
     assert (tmp_path / 'bev.png').exists(), r.stdout[-1000:]
+    assert (tmp_path / 'scene3d.png').exists(), r.stdout[-1000:]
 
 
 def test_mono_det_demo(ws, tmp_path):

@@ -137,12 +137,20 @@ class Det3DVisualizer:
                        pred_bboxes: Optional[np.ndarray] = None,
                        seg_labels: Optional[np.ndarray] = None,
                        out_file: str = 'scene3d.png', elev: float = 30,
-                       azim: float = -60, max_points: int = 40000):
-        """Headless 3D scene view (ref Det3DLocalVisualizer's Open3D
-        window → matplotlib 3D axes): height- or class-colored points
-        with wireframe boxes."""
+                       azim: float = -60, max_points: int = 40000,
+                       show: bool = False):
+        """3D scene view (ref Det3DLocalVisualizer's Open3D window →
+        matplotlib 3D axes): height- or class-colored points with
+        wireframe boxes. ``show=True`` opens an interactive window
+        (rotate/zoom via the matplotlib 3D toolbar — the Open3D-window
+        analogue; Open3D itself is not in this image) when a display is
+        available, and silently falls back to headless otherwise."""
+        import os as _os
+
         import matplotlib
-        matplotlib.use('Agg')
+        show = bool(show and _os.environ.get('DISPLAY'))
+        if not show:
+            matplotlib.use('Agg')
         import matplotlib.pyplot as plt
         from matplotlib.colors import to_rgb
 
@@ -174,6 +182,8 @@ class Det3DVisualizer:
         boxes3d(gt_bboxes, 'g')
         boxes3d(pred_bboxes, 'r')
         ax.view_init(elev=elev, azim=azim)
+        if show:
+            plt.show()  # blocking interactive window
         fig.savefig(out_file, dpi=110, bbox_inches='tight')
         plt.close(fig)
         return out_file
