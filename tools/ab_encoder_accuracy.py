@@ -252,6 +252,13 @@ def main():
     import jax
     if os.environ.get('TPU_BEV3D_PLATFORM'):
         jax.config.update('jax_platforms', os.environ['TPU_BEV3D_PLATFORM'])
+    # persistent compile cache: the tile-sparse train-step CPU compile
+    # alone runs ~40 min; reruns must not pay it again
+    jax.config.update('jax_compilation_cache_dir', os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        '.jax_cache'))
+    jax.config.update('jax_persistent_cache_min_entry_size_bytes', -1)
+    jax.config.update('jax_persistent_cache_min_compile_time_secs', 0)
     import jax.numpy as jnp
 
     def log(msg):
