@@ -184,39 +184,49 @@ def build_cfgs(grid, max_voxels):
     return out
 
 
-def train_and_eval(arm, cfg, train_batches, eval_batches, steps, lr,
-                   classes, log):
+def make_hungarian_assign():
+    """Drop-in greedy_assign replacement: the reference's host scipy
+    Hungarian (ref TransFusionHead get_targets, projects/BEVFusion/
+    bevfusion/utils.py:266-270) via pure_callback. CPU-platform only —
+    host callbacks do not traverse the remote TPU tunnel."""
     import jax
     import jax.numpy as jnp
-    from tpu_bev3d.engine import (build_optimizer, create_train_state,
-                                  make_train_step)
-    from tpu_bev3d.evaluation.functional.nuscenes_eval import nuscenes_eval
-    from tpu_bev3d.testing import build_detector_from_cfg
+    import numpy as np
+    from scipy.optimize import linear_sum_assignment
 
-    model = build_detector_from_cfg(cfg.model)
-    tx, _ = build_optimizer(dict(type='adamw', lr=lr), total_steps=steps,
-                            clip_grad_norm=35.0)
-    t0 = time.time()
-    state = create_train_state(model, train_batches[0], tx)
-    step_fn = make_train_step(model, tx, donate=False)
-    losses = []
-    for i in range(steps):
-        state, metrics = step_fn(state, train_batches[i % len(train_batches)])
-        if i % 25 == 0 or i == steps - 1:
-            losses.append(float(metrics['loss']))
-            log(f'  [{arm}] step {i:4d} loss {losses[-1]:.3f}')
-    t_train = time.time() - t0
+    def hungarian_assign(cost, gt_mask, big=1e9):
+        Q = cost.shape[0]
 
-    variables = {'params': state.params, 'batch_stats': state.batch_stats}
-    predict = jax.jit(
-        lambda b: model.apply(variables, b, mode='predict', train=False))
+        def host(c, m):
+            c = np.asarray(c, np.float64)
+            m = np.asarray(m)
+            qgt = np.full((Q,), -1, np.int32)
+            gs = np.nonzero(m)[0]
+            if len(gs):
+                rows, cols = linear_sum_assignment(c[:, gs].T)
+                for g_i, q in zip(rows, cols):
+                    qgt[q] = gs[g_i]
+            return qgt
+
+        return jax.pure_callback(
+            host, jax.ShapeDtypeStruct((Q,), jnp.int32),
+            jax.lax.stop_gradient(cost), jax.lax.stop_gradient(gt_mask),
+            vmap_method='sequential')
+
+    return hungarian_assign
+
+
+def _assemble(outs, eval_batches):
+    """Model outputs -> (preds, gts) lists for nuscenes_eval."""
     preds, gts = [], []
-    for b in eval_batches:
-        out = predict(b)
+    for b, out in zip(eval_batches, outs):
         bb = np.asarray(out['bboxes'][0])
         sc = np.asarray(out['scores'][0])
         lb = np.asarray(out['labels'][0])
-        keep = sc > 0.05
+        # low cut: AP integrates over the score ranking, the threshold
+        # only trims the padding tail (0.05 starved the eval at the
+        # few-hundred-step scale of this A/B)
+        keep = sc > 0.01
         pad = 9 - bb.shape[-1]
         if pad > 0:
             bb = np.concatenate([bb, np.zeros((len(bb), pad))], -1)
@@ -226,17 +236,71 @@ def train_and_eval(arm, cfg, train_batches, eval_batches, steps, lr,
         gts.append(dict(boxes=np.asarray(b['gt_bboxes_3d'][0])[gm],
                         labels=np.asarray(b['gt_labels_3d'][0])[gm]
                         .astype(np.int64)))
+    return preds, gts
+
+
+def _score(outs, eval_batches, classes):
+    from tpu_bev3d.evaluation.functional.nuscenes_eval import nuscenes_eval
+    preds, gts = _assemble(outs, eval_batches)
+    return nuscenes_eval(preds, gts, classes)
+
+
+def train_and_eval(arm, cfg, train_batches, eval_batches, steps, lr,
+                   classes, log, matcher=None, eval_every=0):
+    import jax
+    import jax.numpy as jnp
+    from tpu_bev3d.engine import (build_optimizer, create_train_state,
+                                  make_train_step)
+    from tpu_bev3d.evaluation.functional.nuscenes_eval import nuscenes_eval
+    from tpu_bev3d.testing import build_detector_from_cfg
+    import tpu_bev3d.models.dense_heads.transfusion_head as th
+
+    if matcher == 'hungarian':
+        th.greedy_assign, _orig_assign = make_hungarian_assign(), \
+            th.greedy_assign
+
+    model = build_detector_from_cfg(cfg.model)
+    tx, _ = build_optimizer(dict(type='adamw', lr=lr), total_steps=steps,
+                            clip_grad_norm=35.0)
+    t0 = time.time()
+    state = create_train_state(model, train_batches[0], tx)
+    step_fn = make_train_step(model, tx, donate=False)
+    predict = jax.jit(
+        lambda v, b: model.apply(v, b, mode='predict', train=False))
+
+    def run_eval(st):
+        variables = {'params': st.params, 'batch_stats': st.batch_stats}
+        return [predict(variables, b) for b in eval_batches]
+
+    losses = []
+    for i in range(steps):
+        state, metrics = step_fn(state, train_batches[i % len(train_batches)])
+        if i % 25 == 0 or i == steps - 1:
+            losses.append(float(metrics['loss']))
+            log(f'  [{arm}] step {i:4d} loss {losses[-1]:.3f}')
+        if eval_every and (i + 1) % eval_every == 0 and i + 1 < steps:
+            nds = _score(run_eval(state), eval_batches, classes)['NDS']
+            log(f'  [{arm}] step {i + 1:4d} interim NDS {nds:.3f}')
+    t_train = time.time() - t0
+
+    preds, gts = _assemble(run_eval(state), eval_batches)
+    n_pred = int(sum(len(p['scores']) for p in preds))
+    n_gt = int(sum(len(g['labels']) for g in gts))
+    log(f'  [{arm}] eval: {n_pred} preds vs {n_gt} GT over '
+        f'{len(eval_batches)} frames')
     metrics = nuscenes_eval(preds, gts, classes)
+    if matcher == 'hungarian':
+        th.greedy_assign = _orig_assign
     return dict(arm=arm, loss_curve=losses, train_s=round(t_train, 1),
                 NDS=metrics['NDS'], mAP=metrics['mAP'],
-                per_class={c: metrics.get(f'{c}_AP_dist_2.0', float('nan'))
+                per_class={c: metrics.get(f'{c}_AP_dist_4.0', float('nan'))
                            for c in ('car', 'truck', 'pedestrian')})
 
 
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument('--steps', type=int, default=400)
-    p.add_argument('--lr', type=float, default=1e-3)
+    p.add_argument('--steps', type=int, default=1500)
+    p.add_argument('--lr', type=float, default=2e-3)
     p.add_argument('--grid', type=int, default=192)
     p.add_argument('--num-points', type=int, default=16000)
     p.add_argument('--max-voxels', type=int, default=6000)
@@ -244,6 +308,14 @@ def main():
     p.add_argument('--train-scenes', type=int, default=24)
     p.add_argument('--eval-scenes', type=int, default=8)
     p.add_argument('--batch-size', type=int, default=2)
+    p.add_argument('--eval-every', type=int, default=500,
+                   help='log interim NDS every N steps (0 = off)')
+    p.add_argument('--ab', choices=('encoder', 'matcher'), default='encoder',
+                   help='encoder: tile-sparse vs BEVColumnEncoder (default).'
+                        ' matcher: greedy vs scipy Hungarian assignment on'
+                        ' the SAME column-encoder model (real-data follow-up'
+                        ' to tools/ab_matcher_convergence.py; CPU platform'
+                        ' only — the Hungarian arm uses a host callback)')
     p.add_argument('--no-real', action='store_true',
                    help='skip the real fixture frames (pure synthetic)')
     p.add_argument('--json', action='store_true', help='print one JSON line')
@@ -293,11 +365,20 @@ def main():
 
     cfgs = build_cfgs(args.grid, args.max_voxels)
     classes = list(cfgs['tile'].class_names)
+    if args.ab == 'matcher':
+        # same model both arms (column encoder: cheap compile); only the
+        # query<->GT assignment in the TransFusion head differs
+        arms = [('greedy', cfgs['column'], 'greedy'),
+                ('hungarian', cfgs['column'], 'hungarian')]
+    else:
+        arms = [(a, c, None) for a, c in cfgs.items()]
     results = {}
-    for arm, cfg in cfgs.items():
-        log(f'--- training {arm} encoder ({args.steps} steps) ---')
+    for arm, cfg, matcher in arms:
+        log(f'--- training {arm} arm ({args.steps} steps) ---')
         results[arm] = train_and_eval(arm, cfg, train_batches, eval_batches,
-                                      args.steps, args.lr, classes, log)
+                                      args.steps, args.lr, classes, log,
+                                      matcher=matcher,
+                                      eval_every=args.eval_every)
     if args.json:
         import json
         print(json.dumps({a: {k: v for k, v in r.items() if k != 'loss_curve'}
