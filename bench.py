@@ -34,7 +34,9 @@ def main():
 
     import numpy as np
     import jax.numpy as jnp
-    n_iter = 12
+    # frames per scan: amortizes the one ~23 ms tunnel RTT per timed call
+    # (tools/benchmark.py uses 50); A/B via TPU_BEV3D_BENCH_FRAMES
+    n_iter = int(os.environ.get('TPU_BEV3D_BENCH_FRAMES', 12))
     n_rep = 5
     bsz = batch['points'].shape[0]
 
