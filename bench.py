@@ -35,8 +35,10 @@ def main():
     import numpy as np
     import jax.numpy as jnp
     # frames per scan: amortizes the one ~23 ms tunnel RTT per timed call
-    # (tools/benchmark.py uses 50); A/B via TPU_BEV3D_BENCH_FRAMES
-    n_iter = int(os.environ.get('TPU_BEV3D_BENCH_FRAMES', 12))
+    # toward pure device throughput (tools/benchmark.py uses 50; 12 vs 24
+    # measured 31.18 vs 32.30 fps — ~1 ms/frame of residual RTT at 12).
+    # A/B via TPU_BEV3D_BENCH_FRAMES.
+    n_iter = int(os.environ.get('TPU_BEV3D_BENCH_FRAMES', 24))
     n_rep = 5
     bsz = batch['points'].shape[0]
 

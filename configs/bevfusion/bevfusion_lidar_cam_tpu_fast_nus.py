@@ -13,7 +13,13 @@
 _base_ = './bevfusion_lidar_cam_voxel0075_second_secfpn_nus.py'
 
 model = dict(
-    max_voxels=68000,
+    # single-sweep serving capacity: >=1.2x margin over the worst case
+    # of a 30k-point keyframe cloud (every in-range point its own
+    # voxel; the real demo frame fills ~17.5k). Fixed-shape capacity is
+    # a first-class TPU perf lever (68000 -> 36000 measured +0.9 fps,
+    # docs/benchmarks.md). For 10-sweep training raise to 120000 (the
+    # faithful multisweep sizing in the _base_ chain).
+    max_voxels=36000,
     compute_dtype='bfloat16',
     # window 8 removes Swin's pad waste at 256x704 (w=7 pads stages by
     # +13/+13/+47/+100%; w=8 by +0/+0/+9/+9%) — measured +12% e2e fps.
