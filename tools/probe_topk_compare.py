@@ -12,9 +12,12 @@ setting to save an npz, then compare.
 Weights are deterministic (PRNGKey(0) init via entry()), so the two runs
 share parameters and any output difference is the knob's effect.
 """
+import os
 import sys
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def save(path):
