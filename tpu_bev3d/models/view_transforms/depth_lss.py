@@ -26,6 +26,9 @@ from flax import linen as nn
 
 from ...ops.bev_pool import (bev_pool, bev_pool_from_ranks,
                              compute_flat_ranks)
+from ...ops.bev_pool_static import (bev_pool_static,
+                                    build_pool_plan_from_ranks,
+                                    get_pool_plan, register_pool_plan)
 from ...registry import MODELS
 from ..layers.common import ConvBNAct
 
@@ -50,22 +53,16 @@ class BaseLSS(nn.Module):
     # semantics). Cuts the BEV scatter rows D/k-fold — the pool scatter is
     # the view transform's dominant cost on TPU (tools/profile_blocks.py).
     depth_topk: int = 0
-    # With depth_topk active, compute geometry ONLY at the selected bins
-    # (get_geometry_at_bins) instead of full-[D] + gather. Bit-identical,
-    # and 8x cheaper STANDALONE (probe: 4.7 -> 0.6 ms) — but a measured
-    # FULL-MODEL regression on the flagship (30.9 -> ~27 fps certified
-    # A/B): the full-[D] geometry depends only on cam params, so XLA
-    # hoists/CSEs it across the protocol scan, while the bin-direct
-    # version is data-dependent on top-k indices and must recompute per
-    # frame. Default OFF; useful when cam params genuinely change every
-    # frame AND memory for the [B,N,D,fH,fW,3] tensor is tight.
+    # SUPERSEDED knobs (kept for config compatibility; both are no-ops
+    # since the sort-fused selection landed): the top-k branch now sorts
+    # (-depth, flat_rank) pairs and takes a static [:k] slice, so there
+    # is no per-bin geometry/rank gather left to optimize away
+    # (geom_at_bins) and no separate top_k op to approximate
+    # (topk_approx — lax.approx_max_k cannot carry the rank operand
+    # through the selection). History: geom_at_bins was a certified
+    # full-model regression (30.9 -> ~27 fps, hoisting loss);
+    # topk_approx measured neutral. See docs/benchmarks.md.
     geom_at_bins: bool = False
-    # Use jax.lax.approx_max_k (the TPU-native approximate top-k unit)
-    # instead of the sort-based lax.top_k for the bin selection.
-    # Semantics: may occasionally keep a bin from just outside the true
-    # top-k (recall_target=0.95 per op docs); the lift is already an
-    # approximation (renormalized truncation), so this only matters if
-    # the full-model A/B shows a win. OFF by default.
     topk_approx: bool = False
 
     @property
@@ -194,50 +191,52 @@ class BaseLSS(nn.Module):
                 - depth)
         nx, ny, nz = self.bev_shape
         if 0 < self.depth_topk < self.D:
-            # sparsified lift: keep the k most likely depth bins per pixel
+            # Sparsified lift, SORT-FUSED rank selection: sort
+            # (-depth, flat_rank) pairs along D and take a STATIC [:k]
+            # slice. This replaces lax.top_k + a minor-axis
+            # take_along_axis of the geometry/ranks — the gather was
+            # the TPU anti-pattern (~4 ms of the 12.9 ms lift/pool at
+            # flagship scale; the fused sort measures 9.0 ms for the
+            # identical k=24 semantics, tools/probe_pool_static.py).
+            # The full-[D] rank table is a pure function of cam params
+            # (XLA hoists it across frames for a fixed rig), and the
+            # selected ranks feed the scatter directly.
             k = self.depth_topk
-            if self.topk_approx:
-                topv, topi = jax.lax.approx_max_k(depth, k)
-                topi = topi.astype(jnp.int32)
-            else:
-                topv, topi = jax.lax.top_k(depth, k)    # [B,N,fH,fW,k]
-            # renormalize so the kept mass still sums to 1
-            topv = topv / jnp.maximum(
-                jnp.sum(topv, -1, keepdims=True), 1e-6)
-            frustum_feats = topv[..., None].astype(feats.dtype) \
-                * feats[..., None, :]                   # [B,N,fH,fW,k,C]
+            B = depth.shape[0]
             if geom_ranks is not None:
-                # deploy fast path ∘ top-k: gather the static all-bin
-                # flat ranks by the kept-bin indices — skips all
-                # per-frame frustum geometry math (ref
-                # depth_lss.py:249-252 precomputed geom_feats). Accepts
-                # the flat [B, N·D·fH·fW] form from
-                # precompute_bev_ranks and regrids it to [B,N,fH,fW,D].
+                # deploy fast path: static all-bin flat ranks (ref
+                # depth_lss.py:249-252 precomputed geom_feats); accepts
+                # the flat [B, N·D·fH·fW] form from precompute_bev_ranks
                 gr = geom_ranks
                 if gr.ndim == 2:
                     B_, N_, fH_, fW_ = depth.shape[:4]
                     gr = gr.reshape(B_, N_, self.D, fH_, fW_) \
                         .transpose(0, 1, 3, 4, 2)
-                r = jnp.take_along_axis(gr, topi, axis=-1)
-                B = frustum_feats.shape[0]
-                return jnp.transpose(bev_pool_from_ranks(
-                    frustum_feats.reshape(B, -1, feats.shape[-1]),
-                    r.reshape(B, -1), bev_shape=(nx, ny, nz),
-                    accum_dtype=jnp.float32), (0, 2, 3, 1))
-            if geom is None:
-                # compute geometry ONLY at the kept bins — bit-identical
-                # to the gather below, 4 ms cheaper at flagship scale
-                g = self.get_geometry_at_bins(topi, cam_params)
+                rk = gr
             else:
-                # gather the matching rows: geom is [B,N,D,fH,fW,3]
-                g = jnp.transpose(geom, (0, 1, 3, 4, 2, 5))
-                g = jnp.take_along_axis(g, topi[..., None], axis=4)
-            return jnp.transpose(bev_pool(
-                frustum_feats, g,
-                bev_start=(self.xbound[0], self.ybound[0], self.zbound[0]),
-                bev_interval=(self.xbound[2], self.ybound[2],
-                              self.zbound[2]),
-                bev_shape=(nx, ny, nz),
+                if geom is None:
+                    geom = self.get_geometry(
+                        cam_params['cam2lidar'], cam_params['intrins'],
+                        cam_params['post_rots'], cam_params['post_trans'],
+                        cam_params.get('lidar_aug'))
+                rk = compute_flat_ranks(
+                    geom, (self.xbound[0], self.ybound[0], self.zbound[0]),
+                    (self.xbound[2], self.ybound[2], self.zbound[2]),
+                    (nx, ny, nz))                       # [B, N·D·fH·fW]
+                B_, N_, fH_, fW_ = depth.shape[:4]
+                rk = rk.reshape(B_, N_, self.D, fH_, fW_) \
+                    .transpose(0, 1, 3, 4, 2)           # [B,N,fH,fW,D]
+            negd, rsel = jax.lax.sort_key_val(-depth, rk, dimension=-1)
+            topv = -negd[..., :k]                       # [B,N,fH,fW,k]
+            rsel = rsel[..., :k]
+            # renormalize so the kept mass still sums to 1
+            topv = topv / jnp.maximum(
+                jnp.sum(topv, -1, keepdims=True), 1e-6)
+            frustum_feats = topv[..., None].astype(feats.dtype) \
+                * feats[..., None, :]                   # [B,N,fH,fW,k,C]
+            return jnp.transpose(bev_pool_from_ranks(
+                frustum_feats.reshape(B, -1, feats.shape[-1]),
+                rsel.reshape(B, -1), bev_shape=(nx, ny, nz),
                 accum_dtype=jnp.float32), (0, 2, 3, 1))
         frustum_feats = jnp.einsum('bnhwd,bnhwc->bndhwc',
                                    depth.astype(feats.dtype), feats)
