@@ -19,7 +19,7 @@ model = dict(
         feat_channels=256,
         stacked_convs=2,
         strides=[4, 8, 16],
-        depth_bins=8,
+        num_depth_bins=8,
         depth_range=(0.1, 70.0),
         max_num=100),
 )

@@ -12,6 +12,7 @@ model = dict(
         stacked_convs=2,
         strides=(16, 32)),
     bbox_head=dict(
+        _delete_=True,  # replace the base StreamPETRHead wholesale
         type='SparseHead',
         num_classes=10,
         embed_dims=256,

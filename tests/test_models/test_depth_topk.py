@@ -174,3 +174,40 @@ def _feats_of(mm, variables, img, cam):
         dimension_numbers=('NHWC', 'HWIO', 'NHWC')) + bias
     y = y.reshape(B, N, fH, fW, -1)
     return y[..., mm.D:]
+
+
+def test_static_pool_matches_dynamic_exact():
+    """static_pool=True with a registered rig plan must reproduce the
+    dynamic exact-lift forward (same contributions, f32 accumulation;
+    fp add order may differ -> allclose), and fall back to the dynamic
+    path when no plan is registered."""
+    from tpu_bev3d.models.view_transforms.depth_lss import ensure_pool_plan
+    from tpu_bev3d.ops.bev_pool_static import clear_pool_plans
+
+    B, N = 1, 2
+    rng = np.random.RandomState(21)
+    img = rng.randn(B, N, 8, 22, 16).astype(np.float32)
+    cam = _cam_params(B, N, rng)
+    m_dyn = _build(0)
+    variables = m_dyn.init(jax.random.PRNGKey(0), jnp.asarray(img), cam)
+    out_dyn, _ = m_dyn.apply(variables, jnp.asarray(img), cam)
+
+    m_st = _build(0, static_pool=True, pool_plan_key='test_rig')
+    clear_pool_plans()
+    # no plan registered -> dynamic fallback, identical output
+    out_fb, _ = m_st.apply(variables, jnp.asarray(img), cam)
+    np.testing.assert_array_equal(np.asarray(out_fb), np.asarray(out_dyn))
+
+    vt_cfg = dict(image_size=(32, 88), feature_size=(8, 22),
+                  xbound=(-10., 10., 0.5), ybound=(-10., 10., 0.5),
+                  zbound=(-10., 10., 20.), dbound=(1., 13., 1.0),
+                  pool_plan_key='test_rig')
+    ensure_pool_plan(vt_cfg, cam)
+    out_st, _ = m_st.apply(variables, jnp.asarray(img), cam)
+    np.testing.assert_allclose(np.asarray(out_st), np.asarray(out_dyn),
+                               rtol=1e-4, atol=1e-4)
+    # train mode must ignore the plan (augmented cams would make it stale)
+    out_tr, _ = m_st.apply(variables, jnp.asarray(img), cam, True,
+                           rngs={'dropout': jax.random.PRNGKey(1)})
+    assert np.isfinite(np.asarray(out_tr)).all()
+    clear_pool_plans()

@@ -247,6 +247,19 @@ def inference_multi_modality_detector(model: InferenceModel, pcds, imgs,
         cam_params = [cam_params]
     num_feats = _point_dim(model.cfg)
     cap = int(model.cfg.get('inference_num_points', 120000))
+    vt = model.cfg.model.get('view_transform', {}) or {}
+    if vt.get('static_pool') and cam_params:
+        # serving setup: register the rig's static-pool gather plan from
+        # the first sample's calibration (no-op if already registered)
+        from ..models.view_transforms.depth_lss import ensure_pool_plan
+        import jax.numpy as _jnp
+        cp0 = cam_params[0] if isinstance(cam_params, (list, tuple)) \
+            else cam_params
+        ensure_pool_plan(vt, {
+            k: _jnp.asarray(np.asarray(v, np.float32))[None]
+            for k, v in cp0.items()
+            if k in ('cam2lidar', 'intrins', 'post_rots', 'post_trans',
+                     'lidar_aug')})
     results = []
     for pcd, im, cp in zip(pcds, imgs, cam_params):
         pts = np.fromfile(pcd, np.float32).reshape(-1, num_feats) \

@@ -99,11 +99,29 @@ class DataBaseSampler:
             self.sample_groups = {}
             for g in sample_groups or []:
                 self.sample_groups.update({k: int(v) for k, v in g.items()})
-        with open(os.path.join(data_root, info_path) if data_root
-                  and not os.path.isabs(info_path) else info_path,
-                  'rb') as f:
+        # lazy-load the dbinfos at first use: transforms must CONSTRUCT
+        # without data on disk (config validation builds every pipeline
+        # transform; the reference's mmengine registry has the same
+        # property because its FileClient reads lazily too)
+        self._info_path = os.path.join(data_root, info_path) \
+            if data_root and not os.path.isabs(info_path) else info_path
+        self._prepare = prepare or {}
+        self._seed = seed
+        self._loaded = False
+        self._db_infos = {}
+        self.samplers = {}
+
+    @property
+    def db_infos(self):
+        self._ensure_loaded()
+        return self._db_infos
+
+    def _ensure_loaded(self):
+        if self._loaded:
+            return
+        with open(self._info_path, 'rb') as f:
             db_infos = pickle.load(f)
-        prepare = prepare or {}
+        prepare = self._prepare
         if 'filter_by_difficulty' in prepare:
             removed = set(prepare['filter_by_difficulty'])
             db_infos = {k: [i for i in v
@@ -114,12 +132,14 @@ class DataBaseSampler:
                 if cls in db_infos:
                     db_infos[cls] = [i for i in db_infos[cls]
                                     if i.get('num_points_in_gt', 1e9) >= mn]
-        self.db_infos = db_infos
-        self.samplers = {k: BatchSampler(v, seed=seed)
+        self._db_infos = db_infos
+        self.samplers = {k: BatchSampler(v, seed=self._seed)
                          for k, v in db_infos.items()}
+        self._loaded = True
 
     def sample_all(self, gt_bboxes: np.ndarray, gt_labels: np.ndarray,
                    class_names: Sequence[str]) -> Optional[dict]:
+        self._ensure_loaded()
         sampled_boxes, sampled_labels, sampled_pts = [], [], []
         avoid = gt_bboxes[:, :7].copy() if len(gt_bboxes) else \
             np.zeros((0, 7), np.float32)
