@@ -73,6 +73,11 @@ def test_full_bevfusion_forward_parity():
     m.bbox_head.ffn_channel = 64
     m.bbox_head.voxel_size = [1.125, 1.125, 0.32]
     m.compute_dtype = 'float32'
+    # the faithful config ships the tile backend with bf16 GEMMs
+    # (tile_dtype='bfloat16'); parity vs the f32 torch oracle needs f32
+    # compute — the tile ACTIVE-SET rule stays the exact spconv rule
+    # either way, so this still parity-tests the shipped backend
+    m.middle_encoder.tile_dtype = ''
     m.head_dtype = 'float32'
     model = build_detector_from_cfg(m)
 
@@ -95,7 +100,8 @@ def test_full_bevfusion_forward_parity():
                     ybound=(-54.0, 54.0, 4.5), zbound=(-10.0, 10.0, 20.0),
                     dbound=(1.0, 25.0, 1.0), downsample=2),
         middle_kw=dict(in_channels=5, sparse_shape=(25, 96, 96),
-                       base_channels=16, output_channels=128),
+                       base_channels=16, output_channels=128,
+                       active_rule='spconv'),   # == the faithful config
         fuser_in=16 + 128,          # cam 16 + lidar 128·D(=1)
         fuser_out=64,
         second_kw=dict(in_channels=64, out_channels=(32, 64),

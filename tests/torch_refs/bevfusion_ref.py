@@ -413,11 +413,17 @@ def _spblock(cin, cout, k=(3, 3, 3)):
 
 class SparseEncoderRef(nn.Module):
     """Dense-conv3d emulation of our TPU SparseEncoder semantics
-    (tpu_bev3d/ops/sparse_conv.py): SubM conv == dense conv3d at the
-    active sites (inactive neighbors are zero either way); strided conv
-    == dense strided conv3d masked to the floor-rule active set
-    unique(floor((c + pad - center)/stride)). Exact value parity with the
-    gather-GEMM path given the same active sets. State-dict layout =
+    (tpu_bev3d/ops/sparse_conv.py, ops/tile_sparse.py): SubM conv ==
+    dense conv3d at the active sites (inactive neighbors are zero either
+    way); strided conv == dense strided conv3d masked to the active set
+    of the chosen ``active_rule`` — 'floor' =
+    unique(floor((c + pad - center)/stride)) (gather-GEMM backend
+    default) or 'spconv' = the exact spconv receptive-field rule (site
+    active iff any active input inside its k-window; emulated as a dense
+    max-pool over the mask — this is the rule real SparseConv3d uses,
+    ref projects/SparseConvolution/sparse_functional.py:169, and the
+    faithful configs' tile-backend default). Exact value parity with
+    either backend given the same active sets. State-dict layout =
     mmdet3d SparseEncoder (conv_input / encoder_layers.encoder_layerN.j /
     conv_out)."""
 
@@ -427,8 +433,10 @@ class SparseEncoderRef(nn.Module):
                                    (64, 64, 128), (128, 128)),
                  encoder_paddings=((0, 0, 1), (0, 0, 1), (0, 0, (0, 1, 1)),
                                    (0, 0)),
-                 conv_out_kernel=(3, 1, 1), conv_out_stride=(2, 1, 1)):
+                 conv_out_kernel=(3, 1, 1), conv_out_stride=(2, 1, 1),
+                 active_rule='floor'):
         super().__init__()
+        self.active_rule = active_rule
         self.sparse_shape = tuple(sparse_shape)
         self.encoder_channels = encoder_channels
         self.encoder_paddings = encoder_paddings
@@ -469,6 +477,14 @@ class SparseEncoderRef(nn.Module):
         pad = np.broadcast_to(np.asarray(padding), (3,))
         y = F.conv3d(x, w, stride=tuple(int(s) for s in strd),
                      padding=tuple(int(p) for p in pad))
+        if self.active_rule == 'spconv':
+            # receptive-field rule: site active iff any active input in
+            # its k-window == max-pool of the mask with the conv geometry
+            new_mask = (F.max_pool3d(
+                mask, kernel_size=tuple(int(kk) for kk in k),
+                stride=tuple(int(s) for s in strd),
+                padding=tuple(int(p) for p in pad)) > 0).to(x.dtype)
+            return self._bn_relu_mask(block, y, new_mask), new_mask
         # floor-rule active set from the current mask
         center = (k - 1) // 2
         idx = mask[:, 0].nonzero()                       # [M, 4] b,z,y,x
