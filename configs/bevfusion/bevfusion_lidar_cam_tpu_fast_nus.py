@@ -24,6 +24,9 @@ model = dict(
     # window 8 removes Swin's pad waste at 256x704 (w=7 pads stages by
     # +13/+13/+47/+100%; w=8 by +0/+0/+9/+9%) — measured +12% e2e fps.
     # Torch w=7 checkpoints import via rel-pos-bias interpolation.
+    # train memory knob: img_backbone=dict(remat=True) rematerializes the
+    # Swin blocks in backward (exact grads, ~1 extra fwd of FLOPs) —
+    # enables larger per-chip train batches; inference is unaffected
     img_backbone=dict(window_size=8),
     view_transform=dict(depth_topk=24),
     middle_encoder=dict(

@@ -213,3 +213,38 @@ def test_swin_window_packing_exact():
     for a, b in zip(o1, o2):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-5, atol=2e-5)
+
+
+def test_swin_remat_grad_parity():
+    """remat=True (jax.checkpoint per block) changes only the memory
+    schedule: params, forward outputs and GRADIENTS match the stored-
+    activation model (activation recompute is exact)."""
+    from tpu_bev3d.models.backbones.swin import SwinTransformer
+    x = jnp.asarray(np.random.default_rng(1)
+                    .normal(0, 1, (2, 32, 32, 3)).astype(np.float32))
+    kw = dict(embed_dims=16, depths=(2, 2), num_heads=(2, 2),
+              window_size=4, out_indices=(0, 1))
+    m1 = SwinTransformer(**kw)
+    m2 = SwinTransformer(remat=True, **kw)
+    v = m1.init(jax.random.PRNGKey(0), x)
+    assert jax.tree_util.tree_structure(v) == jax.tree_util.tree_structure(
+        m2.init(jax.random.PRNGKey(0), x))
+    o1 = m1.apply(v, x, train=False)
+    o2 = m2.apply(v, x, train=False)
+    for a, b in zip(o1, o2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-6)
+
+    def loss(fn):
+        def f(params, xx):
+            outs = fn.apply(params, xx, train=True,
+                            rngs={'dropout': jax.random.PRNGKey(3)})
+            return sum(jnp.sum(o * o) for o in outs)
+        return f
+
+    g1 = jax.grad(loss(m1))(v, x)
+    g2 = jax.grad(loss(m2))(v, x)
+    for a, b in zip(jax.tree_util.tree_leaves(g1),
+                    jax.tree_util.tree_leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)

@@ -262,6 +262,12 @@ class SwinTransformer(nn.Module):
     # MXU window packing (see WindowAttention.pack_windows); bit-exact,
     # applied when the window count divides evenly
     pack_windows: int = 1
+    # jax.checkpoint each block: recompute activations in the backward
+    # pass instead of storing them. The camera branch is the train-time
+    # activation hog (6 cams at 256x704 through 12 blocks); remat trades
+    # ~1 extra forward of FLOPs for O(depth) less HBM, enabling larger
+    # per-chip batches. Gradients are bit-identical (test_swin_remat).
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -276,11 +282,15 @@ class SwinTransformer(nn.Module):
         total = sum(self.depths)
         dpr = np.linspace(0, self.drop_path_rate, total)
         bi = 0
+        # train is arg 2 of SwinBlock.__call__ (0 = module) — static under
+        # remat, same recipe as backbones/vovnet.py:77
+        block_cls = (nn.remat(SwinBlock, static_argnums=(2,))
+                     if self.remat else SwinBlock)
         for i, depth in enumerate(self.depths):
             w = self.window_size
             for d in range(depth):
                 shift = 0 if d % 2 == 0 else w // 2
-                x = SwinBlock(dim, self.num_heads[i], w, shift,
+                x = block_cls(dim, self.num_heads[i], w, shift,
                               self.mlp_ratio,
                               drop_path_rate=float(dpr[bi]),
                               drop_rate=self.drop_rate,
