@@ -30,18 +30,26 @@ class DataLoader:
 
     def __init__(self, dataset, batch_size: int = 1, shuffle: bool = False,
                  seed: int = 0, drop_last: bool = True,
-                 num_workers: int = 0):
+                 num_workers: int = 0, rank: int = 0, world_size: int = 1):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.seed = seed
         self.drop_last = drop_last
         self.num_workers = num_workers
+        # multi-host eval: stripe the index set per process (ref: torch
+        # DistributedSampler as used by the reference's dist_test.sh)
+        self.rank = rank
+        self.world_size = world_size
         self._epoch = 0
 
+    def _local_len(self):
+        n = len(self.dataset)
+        return len(range(self.rank, n, self.world_size))
+
     def __len__(self):
-        n = len(self.dataset) // self.batch_size
-        if not self.drop_last and len(self.dataset) % self.batch_size:
+        n = self._local_len() // self.batch_size
+        if not self.drop_last and self._local_len() % self.batch_size:
             n += 1
         return n
 
@@ -52,6 +60,8 @@ class DataLoader:
         idxs = np.arange(len(self.dataset))
         if self.shuffle:
             np.random.default_rng(self.seed + self._epoch).shuffle(idxs)
+        if self.world_size > 1:
+            idxs = idxs[self.rank::self.world_size]
         bs = self.batch_size
         batches = [idxs[i:i + bs] for i in range(0, len(idxs), bs)]
         if self.drop_last:

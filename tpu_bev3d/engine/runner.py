@@ -50,12 +50,35 @@ class Runner:
         from ..datasets import DataLoader  # noqa: F401 — registers datasets
         return DATASETS.build(dict(dcfg))
 
-    def _build_loader(self, dcfg, shuffle):
+    def _build_loader(self, dcfg, shuffle, drop_last=True, striped=False):
         from ..datasets import DataLoader
         ds = self._build_dataset(dcfg)
         nw = int(self.cfg.get('num_workers', 4))
+        rank, world = (jax.process_index(), jax.process_count()) \
+            if striped else (0, 1)
         return ds, DataLoader(ds, batch_size=self.batch_size,
-                              shuffle=shuffle, num_workers=nw)
+                              shuffle=shuffle, num_workers=nw,
+                              drop_last=drop_last, rank=rank,
+                              world_size=world)
+
+    def _eval_batches(self, loader, eval_fn, state, metric):
+        """Shared SPMD eval inner loop: pad the tail batch to the compiled
+        shape, run the mesh-sharded predict, slice padding off, accumulate
+        per-sample metric state, then gather across hosts (SURVEY §2.5:
+        shard the val set per host, gather metric states; ref mmengine
+        BaseMetric rank-0 collect)."""
+        import jax.numpy as jnp
+        from .train_loop import gather_metric_results, pad_batch_dim0
+        for host_batch in loader:
+            arrays, n_valid = pad_batch_dim0(host_batch, self.batch_size)
+            batch = {k: jnp.asarray(v) for k, v in arrays.items()}
+            batch = shard_batch(batch, self.mesh)
+            preds = jax.device_get(eval_fn(state, batch))
+            if n_valid < self.batch_size:
+                preds = {k: v[:n_valid] for k, v in preds.items()}
+            metric.process(preds, host_batch)
+        metric.results = gather_metric_results(metric.results)
+        return metric.compute_metrics()
 
     def _first_device_batch(self, loader):
         import jax.numpy as jnp
@@ -176,23 +199,19 @@ class Runner:
                   f'(best {self.best_val:.4f})')
 
     def validate(self, state=None) -> Dict[str, float]:
-        """One metrics pass over the val loader with the CURRENT state."""
-        import jax.numpy as jnp
+        """One metrics pass over the val loader with the CURRENT state —
+        batches sharded over the data mesh, tail batch padded+masked."""
         vcfg = self.cfg.get('val_dataloader') or self.cfg.test_dataloader
         if not hasattr(self, '_val_loader'):
-            _, self._val_loader = self._build_loader(vcfg.dataset,
-                                                     shuffle=False)
-            self._val_eval_fn = make_eval_step(self.model)
+            _, self._val_loader = self._build_loader(
+                vcfg.dataset, shuffle=False, drop_last=False, striped=True)
+            self._val_eval_fn = make_eval_step(self.model, self.mesh)
         metric = METRICS.build(dict(self.cfg.get(
             'val_evaluator',
             self.cfg.get('test_evaluator', {'type': 'NuScenesMetric'}))))
         state = state or self.state
-        for host_batch in self._val_loader:
-            batch = {k: jnp.asarray(v) for k, v in host_batch.items()
-                     if k != 'metainfo'}
-            preds = self._val_eval_fn(state, batch)
-            metric.process(jax.device_get(preds), host_batch)
-        return metric.compute_metrics()
+        return self._eval_batches(self._val_loader, self._val_eval_fn,
+                                  state, metric)
 
     def _maybe_val_sample(self, hooks):
         """Run predict on one val batch for Det3DVisualizationHook (the
@@ -220,9 +239,9 @@ class Runner:
     # ---------------------------------------------------------- evaluation
 
     def test(self, state=None) -> Dict[str, float]:
-        import jax.numpy as jnp
         ds, loader = self._build_loader(self.cfg.test_dataloader.dataset,
-                                        shuffle=False)
+                                        shuffle=False, drop_last=False,
+                                        striped=True)
         metric = METRICS.build(dict(self.cfg.get(
             'test_evaluator', {'type': 'NuScenesMetric'})))
         state = state or self.state
@@ -240,13 +259,8 @@ class Runner:
             p = latest_checkpoint(self.work_dir)
             if p:
                 state = restore_checkpoint(p, jax.device_get(state))
-        eval_fn = make_eval_step(self.model)
-        for host_batch in loader:
-            batch = {k: jnp.asarray(v) for k, v in host_batch.items()
-                     if k != 'metainfo'}
-            preds = eval_fn(state, batch)
-            metric.process(jax.device_get(preds), host_batch)
-        out = metric.compute_metrics()
+        eval_fn = make_eval_step(self.model, self.mesh)
+        out = self._eval_batches(loader, eval_fn, state, metric)
         print('[eval]', {k: round(float(v), 4) for k, v in out.items()
                          if not np.isnan(v)})
         return out

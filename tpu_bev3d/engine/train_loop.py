@@ -57,12 +57,65 @@ def make_train_step(model, tx, donate: bool = True,
     return jax.jit(step, donate_argnums=(0,) if donate else ())
 
 
-def make_eval_step(model) -> Callable:
+def make_eval_step(model, mesh: Optional[Mesh] = None,
+                   axis: str = 'data') -> Callable:
+    """Jitted predict step. With a mesh, the batch dim is sharded over
+    ``axis`` and the state replicated — SPMD eval, the TPU-native
+    equivalent of the reference's per-rank val loop (ref: mmengine
+    BaseMetric per-rank process → rank-0 gather,
+    mmdet3d/evaluation/metrics/nuscenes_metric.py:125,149; SURVEY §2.5).
+    Outputs stay batch-sharded; device_get gathers them host-side."""
     def step(state, batch):
         variables = {'params': state.params,
                      'batch_stats': state.batch_stats}
         return model.apply(variables, batch, mode='predict', train=False)
-    return jax.jit(step)
+    if mesh is None or mesh.size <= 1:
+        return jax.jit(step)
+    rep = NamedSharding(mesh, P())
+    shd = NamedSharding(mesh, P(axis))
+    return jax.jit(step, in_shardings=(rep, shd), out_shardings=shd)
+
+
+def pad_batch_dim0(host_batch, to: int):
+    """Pad every array's batch dim to ``to`` rows by repeating the last
+    sample, so the tail val batch keeps the one compiled shape under jit.
+    Returns (padded_batch, n_valid); slice predictions back to n_valid
+    before metric.process."""
+    import numpy as np
+    arrays = {k: v for k, v in host_batch.items() if k != 'metainfo'}
+    n = next(iter(arrays.values())).shape[0]
+    if n == to:
+        return arrays, n
+    assert n < to, f'batch {n} larger than padded size {to}'
+    pad = to - n
+    return {k: np.concatenate([np.asarray(v),
+                               np.repeat(np.asarray(v)[-1:], pad, axis=0)])
+            for k, v in arrays.items()}, n
+
+
+def gather_metric_results(results):
+    """Multi-host metric gather: every process contributes its local
+    per-sample result list; returns the concatenated global list on all
+    hosts (ref: mmengine BaseMetric.evaluate collect_results →
+    rank-0 gather). Single-process: identity. Cross-host transport is a
+    pickled-bytes allgather over the ICI/DCN fabric."""
+    if jax.process_count() <= 1:
+        return results
+    import pickle
+    import numpy as np
+    from jax.experimental import multihost_utils
+    payload = np.frombuffer(pickle.dumps(results), dtype=np.uint8)
+    sizes = multihost_utils.process_allgather(
+        np.asarray([payload.size], np.int64))
+    cap = int(sizes.max())
+    padded = np.zeros(cap, np.uint8)
+    padded[:payload.size] = payload
+    gathered = multihost_utils.process_allgather(padded)
+    out = []
+    for rank in range(jax.process_count()):
+        out.extend(pickle.loads(
+            gathered[rank][:int(sizes[rank, 0])].tobytes()))
+    return out
 
 
 def data_mesh(devices=None, axis: str = 'data') -> Mesh:
