@@ -434,9 +434,11 @@ class SparseEncoderRef(nn.Module):
                  encoder_paddings=((0, 0, 1), (0, 0, 1), (0, 0, (0, 1, 1)),
                                    (0, 0)),
                  conv_out_kernel=(3, 1, 1), conv_out_stride=(2, 1, 1),
-                 active_rule='floor'):
+                 active_rule='floor', xy_order=True):
         super().__init__()
         self.active_rule = active_rule
+        self.xy_order = xy_order  # False = plain mmdet3d SparseEncoder
+        #                           ([B, C*D, y, x], no final transpose)
         self.sparse_shape = tuple(sparse_shape)
         self.encoder_channels = encoder_channels
         self.encoder_paddings = encoder_paddings
@@ -527,6 +529,8 @@ class SparseEncoderRef(nn.Module):
                                 self.conv_out_stride, 0)
         B, C2, D, H, W = x.shape
         out = x.reshape(B, C2 * D, H, W)          # H=y, W=x
+        if not self.xy_order:
+            return out                             # mmdet3d [B, C*D, y, x]
         return out.transpose(2, 3)                 # xy-order [B, C*D, x, y]
 
 

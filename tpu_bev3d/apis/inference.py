@@ -118,6 +118,18 @@ def init_model(config: Union[str, Config],
     variables = jax.jit(
         lambda r, b: model.init(r, b, mode='tensor'))(
             jax.random.PRNGKey(rng_seed), init_batch)
+    if checkpoint and str(checkpoint).endswith(('.pth', '.pt')):
+        # reference-zoo torch checkpoint: convert through the model
+        # family's mapping table (utils/mappings.py)
+        from ..utils.mappings import mapping_for_model
+        from ..utils.torch_convert import (convert_torch_checkpoint,
+                                           load_torch_state_dict)
+        sd = load_torch_state_dict(checkpoint)
+        out = convert_torch_checkpoint(
+            sd, variables, mapping_for_model(dict(cfg.model)))
+        variables = {'params': out['params'],
+                     'batch_stats': out.get('batch_stats', {})}
+        return InferenceModel(cfg, model, variables)
     if checkpoint:
         from ..engine.checkpoint import restore_checkpoint
         from ..engine.optim import build_optimizer

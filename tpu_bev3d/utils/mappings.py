@@ -344,6 +344,107 @@ def bevfusion_mapping(model_cfg: dict) -> Dict[str, Tuple[str, ...]]:
     return m
 
 
+def anchor3d_head_mapping(prefix: str = 'bbox_head.',
+                          flax_prefix: Tuple[str, ...] = ('_bbox_head',)
+                          ) -> Dict[str, Tuple[str, ...]]:
+    """Anchor3DHead 1×1 convs (ref mmdet3d/models/dense_heads/
+    anchor3d_head.py:23 conv_cls/conv_reg/conv_dir_cls)."""
+    m: Dict[str, Tuple[str, ...]] = {}
+    for tname, fname in (('conv_cls', 'conv_cls'), ('conv_reg', 'conv_reg'),
+                         ('conv_dir_cls', 'conv_dir')):
+        m[f'{prefix}{tname}.weight|conv2d'] = \
+            ('params',) + flax_prefix + (fname, 'kernel')
+        m[f'{prefix}{tname}.bias'] = \
+            ('params',) + flax_prefix + (fname, 'bias')
+    return m
+
+
+def centerhead_mapping(head_cfg: dict, prefix: str = 'pts_bbox_head.',
+                       flax_prefix: Tuple[str, ...] = ('_bbox_head',)
+                       ) -> Dict[str, Tuple[str, ...]]:
+    """CenterHead (ref mmdet3d/models/dense_heads/centerpoint_head.py:
+    20-123 SeparateHead Sequentials `task_heads.{t}.{key}.{i}` — ConvModule
+    conv/bn pairs then a plain final conv — plus :322 shared_conv
+    ConvModule)."""
+    from .torch_convert import auto_map_convbn
+    P, F = prefix, flax_prefix
+    m = dict(auto_map_convbn(f'{P}shared_conv', F + ('shared_conv',)))
+    common = dict(head_cfg.get('common_heads') or {
+        'reg': (2, 2), 'height': (1, 2), 'dim': (3, 2), 'rot': (2, 2),
+        **({'vel': (2, 2)} if head_cfg.get('with_velocity', True) else {})})
+    for t, task in enumerate(head_cfg['tasks']):
+        heads = {**{k: tuple(v) for k, v in common.items()},
+                 'heatmap': (len(task['class_names']), 2)}
+        Ft = F + (f'task_{t}',)
+        for name, (_, num_conv) in heads.items():
+            seq = f'{P}task_heads.{t}.{name}'
+            for i in range(num_conv - 1):
+                m.update(auto_map_convbn(f'{seq}.{i}',
+                                         Ft + (f'{name}_conv{i}',)))
+            m[f'{seq}.{num_conv - 1}.weight|conv2d'] = \
+                ('params',) + Ft + (f'{name}_out', 'kernel')
+            m[f'{seq}.{num_conv - 1}.bias'] = \
+                ('params',) + Ft + (f'{name}_out', 'bias')
+    return m
+
+
+_SECOND_ENC_CHANNELS = ((16, 16, 32), (32, 32, 64), (64, 64, 128),
+                        (128, 128))
+
+
+def centerpoint_mapping(model_cfg: dict) -> Dict[str, Tuple[str, ...]]:
+    """CenterPoint voxel-variant (ref configs/centerpoint/centerpoint_
+    voxel01_second_secfpn_*.py; the detector subclasses MVXTwoStageDetector
+    so every torch key carries the pts_ prefix; pts_voxel_encoder is the
+    paramless HardSimpleVFE)."""
+    m: Dict[str, Tuple[str, ...]] = {}
+    m.update(sparse_encoder_mapping(
+        model_cfg['middle_encoder'].get('encoder_channels',
+                                        _SECOND_ENC_CHANNELS),
+        prefix='pts_middle_encoder.'))
+    m.update(second_mapping(list(model_cfg['backbone']['layer_nums']),
+                            prefix='pts_backbone.'))
+    m.update(secondfpn_mapping(
+        list(model_cfg['neck']['upsample_strides']), prefix='pts_neck.'))
+    m.update(centerhead_mapping(model_cfg['bbox_head'],
+                                prefix='pts_bbox_head.'))
+    return m
+
+
+def second_kitti_mapping(model_cfg: dict) -> Dict[str, Tuple[str, ...]]:
+    """SECOND (VoxelNet shell, ref configs/second/second_hv_secfpn_
+    8xb6-80e_kitti-3d-3class.py): paramless HardSimpleVFE + SparseEncoder
+    + SECOND + SECONDFPN + Anchor3DHead, unprefixed torch keys."""
+    m: Dict[str, Tuple[str, ...]] = {}
+    m.update(sparse_encoder_mapping(
+        model_cfg['middle_encoder'].get('encoder_channels',
+                                        _SECOND_ENC_CHANNELS),
+        prefix='middle_encoder.'))
+    m.update(second_mapping(list(model_cfg['backbone']['layer_nums'])))
+    m.update(secondfpn_mapping(list(model_cfg['neck']['upsample_strides'])))
+    m.update(anchor3d_head_mapping())
+    return m
+
+
+def mapping_for_model(model_cfg: dict) -> Dict[str, Tuple[str, ...]]:
+    """Dispatch a model config to its torch→flax mapping table (consumed by
+    apis.init_model for .pth checkpoints and
+    tools/model_converters/convert_mmdet3d_checkpoint.py)."""
+    t = model_cfg['type']
+    if t == 'BEVFusion':
+        return bevfusion_mapping(model_cfg)
+    if t == 'CenterPoint':
+        return centerpoint_mapping(model_cfg)
+    if t in ('VoxelNet', 'SECOND'):
+        ve = model_cfg.get('voxel_encoder', {}).get('type', '')
+        if 'Pillar' in ve:
+            return pointpillars_mapping(model_cfg)
+        return second_kitti_mapping(model_cfg)
+    if t == 'PointPillars':
+        return pointpillars_mapping(model_cfg)
+    raise KeyError(f'no torch mapping table for model type {t!r}')
+
+
 def pointpillars_mapping(model_cfg: dict) -> Dict[str, Tuple[str, ...]]:
     """Mapping for the VoxelNet/PointPillars family (ref state_dict names:
     voxel_encoder.pfn_layers.N.{linear,norm}, backbone.blocks.S.I
@@ -370,10 +471,5 @@ def pointpillars_mapping(model_cfg: dict) -> Dict[str, Tuple[str, ...]]:
     m.update(second_mapping(list(model_cfg['backbone']['layer_nums'])))
     m.update(secondfpn_mapping(list(model_cfg['neck']['upsample_strides'])))
     # --- Anchor3DHead 1×1 convs
-    for tname, fname in (('conv_cls', 'conv_cls'), ('conv_reg', 'conv_reg'),
-                         ('conv_dir_cls', 'conv_dir')):
-        m[f'bbox_head.{tname}.weight|conv2d'] = \
-            ('params', '_bbox_head', fname, 'kernel')
-        m[f'bbox_head.{tname}.bias'] = \
-            ('params', '_bbox_head', fname, 'bias')
+    m.update(anchor3d_head_mapping())
     return m
