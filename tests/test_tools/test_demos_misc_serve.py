@@ -339,3 +339,67 @@ def test_serve_http(ws, pp_cfg):
     finally:
         proc.kill()
         proc.wait()
+
+
+def test_inference_demo_walkthrough(ws, pp_cfg, tmp_path):
+    """demo/inference_demo.py — the scripted analogue of the reference's
+    demo/inference_demo.ipynb."""
+    r = _run([os.path.join(REPO, 'demo', 'inference_demo.py'),
+              '--config', pp_cfg, '--pcd', str(ws / 'cloud.bin'),
+              '--out-dir', str(tmp_path), '--score-thr', '0.0'])
+    assert r.returncode == 0, r.stderr[-3000:]
+    assert 'step 5' in r.stdout
+    assert (tmp_path / 'inference_demo_bev.png').exists()
+
+
+def test_convert_legacy_checkpoints(tmp_path):
+    """tools/model_converters/convert_legacy_checkpoints.py — votenet
+    pre-v0.6 head split + regnet (pycls) renames (ref
+    convert_votenet_checkpoints.py:96-146, regnet2mmdet.py)."""
+    torch = pytest.importorskip('torch')
+    C = 18
+    sd = {
+        'bbox_head.conv_pred.0.conv.weight': torch.randn(8, 8, 1),
+        'bbox_head.conv_pred.0.bn.weight': torch.randn(8),
+        'bbox_head.conv_pred.0.bn.num_batches_tracked':
+            torch.zeros((), dtype=torch.long),
+        'bbox_head.conv_pred.conv_out.weight': torch.randn(2 + 6 + C, 8, 1),
+        'bbox_head.conv_pred.conv_out.bias': torch.randn(2 + 6 + C),
+        'backbone.SA_modules.0.mlps.0.layer0.conv.weight':
+            torch.randn(16, 4, 1, 1),
+    }
+    src = tmp_path / 'legacy.pth'
+    torch.save({'state_dict': sd}, src)
+    dst = tmp_path / 'modern.pth'
+    r = _run([os.path.join(REPO, 'tools', 'model_converters',
+                           'convert_legacy_checkpoints.py'),
+              'votenet', str(src), str(dst), '--num-classes', str(C)])
+    assert r.returncode == 0, r.stderr[-3000:]
+    out = torch.load(dst, weights_only=False)['state_dict']
+    assert 'bbox_head.conv_pred.shared_convs.layer0.conv.weight' in out
+    assert not any(k.endswith('num_batches_tracked') for k in out)
+    assert out['bbox_head.conv_pred.conv_cls.weight'].shape[0] == 2 + C
+    assert out['bbox_head.conv_pred.conv_reg.weight'].shape[0] == 6
+    w = sd['bbox_head.conv_pred.conv_out.weight']
+    assert torch.equal(out['bbox_head.conv_pred.conv_cls.weight'][:2],
+                       w[:2])
+    assert torch.equal(out['bbox_head.conv_pred.conv_reg.weight'], w[2:-C])
+    # regnet renames
+    sd2 = {'stem.conv.weight': torch.randn(8, 3, 3, 3),
+           'stem.bn.weight': torch.randn(8),
+           's1.b1.proj.weight': torch.randn(8, 8, 1, 1),
+           's1.b1.bn.weight': torch.randn(8),
+           's1.b1.f.a.weight': torch.randn(8, 8, 1, 1),
+           's1.b2.f.b_bn.running_mean': torch.randn(8),
+           'head.fc.weight': torch.randn(10, 8)}
+    src2 = tmp_path / 'regnet.pth'
+    torch.save(sd2, src2)
+    dst2 = tmp_path / 'regnet_mm.pth'
+    r = _run([os.path.join(REPO, 'tools', 'model_converters',
+                           'convert_legacy_checkpoints.py'),
+              'regnet', str(src2), str(dst2)])
+    assert r.returncode == 0, r.stderr[-3000:]
+    out2 = torch.load(dst2, weights_only=False)['state_dict']
+    assert {'conv1.weight', 'bn1.weight', 'layer1.0.downsample.0.weight',
+            'layer1.0.downsample.1.weight', 'layer1.0.conv1.weight',
+            'layer1.1.bn2.running_mean', 'fc.weight'} <= set(out2)

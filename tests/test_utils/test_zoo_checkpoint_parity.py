@@ -205,9 +205,23 @@ def test_second_checkpoint_forward_parity():
     _agree(jnp.transpose(dir_f, (0, 3, 1, 2)), dir_t.numpy(), 5e-3, 'dir')
 
 
+def _check_init_model_pth(cfg, tm, tmp_path):
+    """init_model(config, checkpoint='*.pth') loads a reference-zoo torch
+    state dict through mapping_for_model."""
+    from tpu_bev3d.apis.inference import init_model
+    p = str(tmp_path / 'zoo.pth')
+    torch.save({'state_dict': tm.state_dict()}, p)
+    im = init_model(cfg, checkpoint=p)
+    w = np.asarray(
+        im.variables['params']['_backbone']['block_0_0']['Conv_0']['kernel'])
+    key = [k for k in tm.state_dict() if k.endswith('blocks.0.0.weight')][0]
+    t = tm.state_dict()[key].numpy().transpose(2, 3, 1, 0)
+    np.testing.assert_allclose(w, t, rtol=1e-6)
+
+
 # --------------------------------------------------------------- PointPillars
 
-def test_pointpillars_checkpoint_forward_parity():
+def test_pointpillars_checkpoint_forward_parity(tmp_path):
     from tests.torch_refs.zoo_refs import PointPillarsE2ERef
     from tpu_bev3d.models.voxel_encoders.pillar_encoder import \
         decorate_pillars
@@ -263,3 +277,5 @@ def test_pointpillars_checkpoint_forward_parity():
     _agree(jnp.transpose(cls_f, (0, 3, 1, 2)), cls_t.numpy(), 5e-3, 'cls')
     _agree(jnp.transpose(reg_f, (0, 3, 1, 2)), reg_t.numpy(), 5e-3, 'reg')
     _agree(jnp.transpose(dir_f, (0, 3, 1, 2)), dir_t.numpy(), 5e-3, 'dir')
+
+    _check_init_model_pth(cfg, tm, tmp_path)
