@@ -112,6 +112,32 @@ def main():
         print(f'# WARN: run spread {spread:.1%} exceeds the 15% idle '
               f'band — host contention suspected; runs: '
               f'{[round(f, 1) for f in fps_runs]}', file=sys.stderr)
+
+    # ---- MFU (VERDICT r3 item 2): per-frame model FLOPs from XLA HLO
+    # cost analysis (client-side, no TPU compile: lower for the CPU
+    # backend inside this process — the axon plugin returns None from
+    # Lowered.cost_analysis), achieved TFLOP/s = flops×fps, and % of the
+    # chip's bf16 MXU peak (v5e = 197 TFLOP/s bf16).
+    gflops = tflops = mfu = None
+    try:
+        peak = float(os.environ.get('TPU_BEV3D_PEAK_TFLOPS', 197.0))
+        # trace grid cumsums as log-depth scans for honest counting
+        # (see ops/tile_sparse.py _grid_cumsum)
+        os.environ['TPU_BEV3D_CUMSUM_IMPL'] = 'assoc'
+        try:
+            with jax.default_device(jax.devices('cpu')[0]):
+                shapes = jax.tree_util.tree_map(
+                    lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype),
+                    variables)
+                ca = jax.jit(fn).lower(shapes, batch).cost_analysis()
+        finally:
+            os.environ.pop('TPU_BEV3D_CUMSUM_IMPL', None)
+        ca = ca[0] if isinstance(ca, list) else ca
+        gflops = float(ca.get('flops', 0)) / 1e9 / bsz
+        tflops = gflops * fps / 1e3
+        mfu = 100.0 * tflops / peak
+    except Exception as e:                       # pragma: no cover
+        print(f'# WARN: cost analysis unavailable: {e}', file=sys.stderr)
     print(json.dumps({
         'metric': 'bevfusion_lc_inference_fps_per_chip',
         'value': round(fps, 3),
@@ -119,6 +145,9 @@ def main():
         'vs_baseline': round(fps / BASELINE_FPS, 3),
         'runs': [round(f, 2) for f in fps_runs],
         'spread_pct': round(100 * spread, 1),
+        'model_gflops_per_frame': round(gflops, 2) if gflops else None,
+        'achieved_tflops': round(tflops, 3) if tflops else None,
+        'mfu_pct_bf16_peak': round(mfu, 2) if mfu else None,
     }))
 
 

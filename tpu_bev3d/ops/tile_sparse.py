@@ -107,6 +107,21 @@ def _tile_lin(coords, grid, batch_size, valid):
     return jnp.where(valid, lin, BIG), BIG
 
 
+def _grid_cumsum(x):
+    """Occupancy-grid prefix sum. jnp.cumsum (full-window reduce_window)
+    is the production impl — A/B'd 39.76 vs 34.79 fps on the v5e against
+    lax.associative_scan for the SECOND tile encoder (2026-08-19). But
+    reduce_window's HLO flop COUNT is O(n²): 4.4 phantom TFLOP on the
+    3M-cell stage-1 grid, poisoning any MFU ledger. The FLOP-counting
+    instruments (tools/mfu_report.py, bench.py) therefore trace with
+    TPU_BEV3D_CUMSUM_IMPL=assoc — bit-exact int32 adds, O(n log n)
+    counted — while production keeps the faster lowering."""
+    import os
+    if os.environ.get('TPU_BEV3D_CUMSUM_IMPL') == 'assoc':
+        return lax.associative_scan(jnp.add, x)
+    return jnp.cumsum(x)
+
+
 def _table_from_candidates(cand, ok, grid, batch_size, capacity):
     """Candidate tile coords [M,4] (+validity) → (table [cap,4],
     slot map [B·G+1]).
@@ -124,7 +139,7 @@ def _table_from_candidates(cand, ok, grid, batch_size, capacity):
     n = batch_size * int(np.prod(grid))
     lin, BIG = _tile_lin(cand, grid, batch_size, ok)   # BIG == n
     occ = jnp.zeros((n,), bool).at[lin].set(ok, mode='drop')
-    slot = jnp.cumsum(occ.astype(jnp.int32)) - 1       # flat cumsum: 0.9ms
+    slot = _grid_cumsum(occ.astype(jnp.int32)) - 1     # flat cumsum: 0.9ms
     slot = jnp.where(occ & (slot < capacity), slot, capacity)  # per 3M cells
     smap = jnp.concatenate(
         [slot, jnp.full((1,), capacity, jnp.int32)])
