@@ -184,6 +184,132 @@ def build_cfgs(grid, max_voxels):
     return out
 
 
+# ---- camera-deviation arms (VERDICT r3 item 1): the two remaining
+# shipped flagship deviations live in the CAMERA branch, so their A/B
+# uses a camera-ONLY BEVFusion (no lidar branch -> the deviation cannot
+# hide behind lidar features): depth_topk=24 vs the exact interval-sum
+# lift (ref projects/BEVFusion/bevfusion/ops/bev_pool/bev_pool.py:146),
+# and window-8 vs window-7 Swin (ref config bevfusion_lidar-cam_*.py:16).
+
+_CAM_IMG_HW = (128, 352)
+# lidar->cam: x_cam = -y_l, y_cam = -z_l, z_cam = x_l (forward camera)
+_L2C_R = np.array([[0., -1., 0.], [0., 0., -1.], [1., 0., 0.]], np.float32)
+_FX = 300.0
+
+
+def make_cam_scene(rng, num_points, pc_range, max_gt, point_dim=5):
+    """A learnable CAMERA scene: the lidar scene of make_scene with
+    objects constrained to one forward camera's frustum, plus a rendered
+    image (per-class channel fill at the projected box) and the full
+    calibration stack. Lidar points still ship (they feed the DepthLSS
+    sparse depth-map input + depth loss — identical in both arms)."""
+    H, W = _CAM_IMG_HW
+    cx_px, cy_px = W / 2.0, H / 2.0
+    scene = None
+    for _ in range(40):   # rejection-sample until >=2 objects in frustum
+        s = make_scene(rng, num_points, pc_range, max_gt,
+                       num_obj=(5, 10), point_dim=point_dim)
+        gtm, gtb = s['gt_mask'], s['gt_bboxes_3d']
+        infov = gtm & (gtb[:, 0] > 6) & (gtb[:, 0] < 50) & \
+            (np.abs(gtb[:, 1]) < 0.5 * gtb[:, 0])
+        if infov.sum() >= 2:
+            s['gt_mask'] = infov
+            scene = s
+            break
+    assert scene is not None, 'frustum sampling failed'
+    img = rng.normal(0.0, 0.05, (H, W, 3)).astype(np.float32)
+    chan = {0: 0, 1: 1, 8: 2}
+    order = np.argsort(-scene['gt_bboxes_3d'][:, 0])  # far first
+    for i in order:
+        if not scene['gt_mask'][i]:
+            continue
+        b = scene['gt_bboxes_3d'][i]
+        cxl, cyl, z0, dx, dy, dz, yaw = b[:7]
+        # 8 corners (bottom-centered z), lidar frame
+        sgn = np.array([[sx, sy, sz] for sx in (-.5, .5)
+                        for sy in (-.5, .5) for sz in (0, 1.)])
+        c, sn = np.cos(yaw), np.sin(yaw)
+        rot = np.array([[c, -sn], [sn, c]])
+        corners = sgn * [dx, dy, dz]
+        corners[:, :2] = corners[:, :2] @ rot.T
+        corners += [cxl, cyl, z0]
+        cam = corners @ _L2C_R.T
+        z = np.maximum(cam[:, 2], 0.5)
+        u = _FX * cam[:, 0] / z + cx_px
+        v = _FX * cam[:, 1] / z + cy_px
+        u0, u1 = int(np.clip(u.min(), 0, W - 1)), int(np.clip(u.max(), 0, W))
+        v0, v1 = int(np.clip(v.min(), 0, H - 1)), int(np.clip(v.max(), 0, H))
+        if u1 > u0 and v1 > v0:
+            img[v0:v1, u0:u1, chan[int(scene['gt_labels_3d'][i])]] = 1.0
+            img[v0:v1, u0:u1, (chan[int(scene['gt_labels_3d'][i])] + 1) % 3] \
+                *= 0.2
+    K = np.eye(3, dtype=np.float32)
+    K[0, 0] = K[1, 1] = _FX
+    K[0, 2], K[1, 2] = cx_px, cy_px
+    l2c4 = np.eye(4, dtype=np.float32)
+    l2c4[:3, :3] = _L2C_R
+    K4 = np.eye(4, dtype=np.float32)
+    K4[:3, :3] = K
+    scene.update(
+        imgs=img[None],                                       # [N=1, H, W, 3]
+        cam2lidar=np.linalg.inv(l2c4)[None].astype(np.float32),
+        intrins=K[None],
+        post_rots=np.eye(3, dtype=np.float32)[None],
+        post_trans=np.zeros((1, 3), np.float32),
+        lidar2img=(K4 @ l2c4)[None],
+        lidar_aug=np.eye(4, dtype=np.float32))
+    return scene
+
+
+def build_cam_cfgs(ab):
+    """Two camera-only tiny configs differing ONLY in the knob under
+    test. Non-varied knobs stay at the SHIPPED flagship values (window 8
+    / depth_topk 24), so each A/B isolates one deviation on top of the
+    shipped stack."""
+    from tpu_bev3d.config import Config
+    arms = {'vt': [('topk24', dict(depth_topk=24)),
+                   ('exact', dict(depth_topk=0))],
+            'swin': [('win8', dict(window_size=8)),
+                     ('win7', dict(window_size=7))]}[ab]
+    out = {}
+    for name, knob in arms:
+        cfg = Config.fromfile('configs/bevfusion/'
+                              'bevfusion_lidar_cam_voxel0075_second_'
+                              'secfpn_nus.py')
+        m = cfg.model
+        m.voxel_encoder = None
+        m.middle_encoder = None
+        m.fuser = None
+        m.img_backbone.embed_dims = 32
+        m.img_backbone.num_heads = [2, 4, 8, 16]
+        m.img_backbone.window_size = knob.get('window_size', 8)
+        m.img_neck.in_channels = [64, 128, 256]
+        m.img_neck.out_channels = 64
+        vt = m.view_transform
+        vt.in_channels = 64
+        vt.out_channels = 64
+        vt.image_size = list(_CAM_IMG_HW)
+        vt.feature_size = [_CAM_IMG_HW[0] // 8, _CAM_IMG_HW[1] // 8]
+        vt.xbound = [-54.0, 54.0, 2.25]
+        vt.ybound = [-54.0, 54.0, 2.25]
+        vt.dbound = [1.0, 54.0, 0.5]          # 106 bins; topk 24 ~= the
+        vt.depth_topk = knob.get('depth_topk', 24)   # flagship's 24/118
+        m.backbone.in_channels = 64
+        m.backbone.out_channels = [64, 128]
+        m.backbone.layer_nums = [2, 2]
+        m.backbone.layer_strides = [1, 2]
+        m.neck.in_channels = [64, 128]
+        m.neck.out_channels = [64, 64]
+        m.neck.upsample_strides = [1, 2]
+        m.bbox_head.in_channels = 128
+        m.bbox_head.hidden_channel = 64
+        m.bbox_head.num_proposals = 64
+        # head decode: cell = voxel_size * out_size_factor(8) = 2.25 m
+        m.bbox_head.voxel_size = [2.25 / 8, 2.25 / 8, 0.2]
+        out[name] = cfg
+    return out
+
+
 def make_hungarian_assign():
     """Drop-in greedy_assign replacement: the reference's host scipy
     Hungarian (ref TransFusionHead get_targets, projects/BEVFusion/
@@ -310,12 +436,16 @@ def main():
     p.add_argument('--batch-size', type=int, default=2)
     p.add_argument('--eval-every', type=int, default=500,
                    help='log interim NDS every N steps (0 = off)')
-    p.add_argument('--ab', choices=('encoder', 'matcher'), default='encoder',
+    p.add_argument('--ab', choices=('encoder', 'matcher', 'vt', 'swin'),
+                   default='encoder',
                    help='encoder: tile-sparse vs BEVColumnEncoder (default).'
                         ' matcher: greedy vs scipy Hungarian assignment on'
                         ' the SAME column-encoder model (real-data follow-up'
                         ' to tools/ab_matcher_convergence.py; CPU platform'
-                        ' only — the Hungarian arm uses a host callback)')
+                        ' only — the Hungarian arm uses a host callback).'
+                        ' vt: depth_topk=24 vs exact interval-sum lift on a'
+                        ' camera-only model. swin: window-8 vs window-7'
+                        ' Swin on a camera-only model.')
     p.add_argument('--no-real', action='store_true',
                    help='skip the real fixture frames (pure synthetic)')
     p.add_argument('--json', action='store_true', help='print one JSON line')
@@ -338,13 +468,17 @@ def main():
             print(msg, flush=True)
 
     pc_range = (-54, -54, -5, 54, 54, 3)
-    scenes = [make_scene(np.random.default_rng(1000 + i), args.num_points,
-                         pc_range, args.max_gt)
+    cam_ab = args.ab in ('vt', 'swin')
+    mk = make_cam_scene if cam_ab else make_scene
+    scenes = [mk(np.random.default_rng(1000 + i), args.num_points,
+                 pc_range, args.max_gt)
               for i in range(args.train_scenes + args.eval_scenes)]
     train_sc = scenes[:args.train_scenes]
     eval_sc = scenes[args.train_scenes:]
-    real = [] if args.no_real else load_real_frames(args.num_points,
-                                                    args.max_gt)
+    # camera arms are synthetic-only: the vendored real frames carry a
+    # 6-camera rig whose aug pipeline is out of scope for this relative A/B
+    real = [] if (args.no_real or cam_ab) else \
+        load_real_frames(args.num_points, args.max_gt)
     log(f'scenes: {len(train_sc)} train synth + {len(real)} real, '
         f'{len(eval_sc)} eval synth')
 
@@ -363,8 +497,11 @@ def main():
     eval_batches = [{k: jnp.asarray(v[None]) for k, v in s.items()}
                     for s in eval_pool]
 
-    cfgs = build_cfgs(args.grid, args.max_voxels)
-    classes = list(cfgs['tile'].class_names)
+    if cam_ab:
+        cfgs = build_cam_cfgs(args.ab)
+    else:
+        cfgs = build_cfgs(args.grid, args.max_voxels)
+    classes = list(next(iter(cfgs.values())).class_names)
     if args.ab == 'matcher':
         # same model both arms (column encoder: cheap compile); only the
         # query<->GT assignment in the TransFusion head differs

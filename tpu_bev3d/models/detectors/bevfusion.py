@@ -70,7 +70,11 @@ class BEVFusion(nn.Module):
     def setup(self):
         self._voxel_encoder = MODELS.build(dict(self.voxel_encoder)) \
             if self.voxel_encoder else None
-        self._middle_encoder = MODELS.build(dict(self.middle_encoder))
+        # camera-only variant (ref BEVFusion supports lidar-less configs,
+        # projects/BEVFusion/bevfusion/bevfusion.py extract_feat): no
+        # middle encoder -> the lidar branch is skipped entirely
+        self._middle_encoder = MODELS.build(dict(self.middle_encoder)) \
+            if self.middle_encoder else None
         self._backbone = MODELS.build(dict(self.backbone))
         self._neck = MODELS.build(dict(self.neck)) if self.neck else None
         self._bbox_head = MODELS.build(dict(self.bbox_head))
@@ -130,9 +134,10 @@ class BEVFusion(nn.Module):
             bev_img, depth_logits, cam_params = self.extract_img_feat(
                 batch, train)
             feats.append(bev_img)
-        pts_bev = self.extract_pts_feat(batch['points'],
-                                        batch['points_mask'], train)
-        feats.append(pts_bev)
+        if self._middle_encoder is not None:
+            pts_bev = self.extract_pts_feat(batch['points'],
+                                            batch['points_mask'], train)
+            feats.append(pts_bev)
         if self._fuser is not None and len(feats) > 1:
             x = self._fuser(feats, train=train)
         else:
