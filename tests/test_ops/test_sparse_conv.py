@@ -112,3 +112,50 @@ def test_sparse_conv_grad(rng):
     g = jax.grad(loss)(w)
     assert np.isfinite(np.asarray(g)).all()
     assert np.abs(np.asarray(g)).sum() > 0
+
+
+def test_pair_key_index_matches_single_key():
+    """Huge grids (>2^31 cells, e.g. the faithful MinkUNet SemanticKITTI
+    4000x4000x800) take the two-searchsorted pair-key path in
+    build_coord_index; it must agree exactly with the single-linear-key
+    path on the same coordinate set."""
+    import numpy as np
+    import jax.numpy as jnp
+    from tpu_bev3d.ops.sparse_conv import build_coord_index, lookup_coords
+
+    rng = np.random.default_rng(0)
+    small = (8, 16, 16)
+    huge = (800, 4000, 4000)   # > 2^31 cells -> pair mode
+    N = 64
+    c_small = np.stack([rng.integers(0, 2, N),
+                        rng.integers(0, small[0], N),
+                        rng.integers(0, small[1], N),
+                        rng.integers(0, small[2], N)], -1).astype(np.int32)
+    c_small[50:, :] = -1   # invalid tail rows
+    # same relative coords embedded in the huge grid (scaled offsets)
+    c_huge = c_small.copy()
+    c_huge[:50, 1] += 100
+    c_huge[:50, 2] += 2000
+    c_huge[:50, 3] += 3900   # near the x edge
+
+    for coords, shape in ((c_small, small), (c_huge, huge)):
+        coords = jnp.asarray(coords)
+        idx, valid = build_coord_index(coords, shape, 2)
+        mode = idx[0]
+        assert mode == ('pair' if shape == huge else 'lin')
+        # queries: every row shifted by one in x (some exist, some don't)
+        q = coords.at[:, 3].add(1)
+        q = jnp.where(valid[:, None], q, -1)
+        got, found = lookup_coords(idx, q, valid, shape, 2, N)
+        # brute-force oracle
+        cs = np.asarray(coords)
+        qs = np.asarray(q)
+        for i in range(N):
+            if qs[i, 0] < 0 or qs[i, 3] >= shape[2]:
+                continue
+            match = np.nonzero((cs == qs[i]).all(1) & (cs[:, 0] >= 0))[0]
+            if len(match):
+                assert bool(found[i]), (shape, i)
+                assert int(got[i]) == match[0], (shape, i)
+            else:
+                assert not bool(found[i]), (shape, i)

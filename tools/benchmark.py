@@ -1,6 +1,12 @@
 #!/usr/bin/env python
 """Inference FPS benchmark for any config (ref: tools/analysis_tools/
-benchmark.py:35-82 — warmup then timed pure-inference iterations)."""
+benchmark.py:35-82 — warmup then timed pure-inference iterations).
+
+Handles every model family: lidar detectors, camera-only (PETR),
+LiDAR+camera fusion, segmentors, and StreamPETR's STREAMING protocol
+(the temporal memory pytree is threaded as the lax.scan carry, so the
+timed run propagates memory across frames exactly like deployment —
+ref projects/StreamPETR streaming inference)."""
 import argparse
 import os
 import sys
@@ -8,6 +14,38 @@ import time
 
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                 '..'))
+
+
+def _bench_batches(cfg, iters, num_points, batch_size, dist):
+    """One DISTINCT batch per timed iteration (repeated identical args
+    report impossibly fast times through the remote-TPU tunnel): the
+    modality-appropriate template from apis._make_init_batch with
+    per-iteration fresh points/images."""
+    import numpy as np
+    from tpu_bev3d.apis.inference import _make_init_batch
+    from tpu_bev3d.testing import create_detector_inputs
+
+    template = _make_init_batch(cfg)
+    pcr = tuple(cfg.model.get('point_cloud_range',
+                              (-54, -54, -5, 54, 54, 3)))
+    out = []
+    for i in range(iters):
+        rng = np.random.default_rng(i)
+        b = {k: np.repeat(np.asarray(v), batch_size, axis=0)
+             if np.asarray(v).ndim else np.asarray(v)
+             for k, v in template.items()}
+        if 'points' in b:
+            det = create_detector_inputs(
+                rng=rng, batch_size=batch_size, num_points=num_points,
+                point_dim=b['points'].shape[-1], pc_range=pcr,
+                distribution=dist)
+            b['points'] = det['points']
+            b['points_mask'] = det['points_mask']
+        if 'imgs' in b:
+            b['imgs'] = (b['imgs'] + rng.normal(
+                0, 0.05, b['imgs'].shape)).astype(np.float32)
+        out.append(b)
+    return out
 
 
 def main():
@@ -39,28 +77,24 @@ def main():
                           os.environ['TPU_BEV3D_PLATFORM'])
     import jax.numpy as jnp
     from tpu_bev3d.config import Config
-    from tpu_bev3d.testing import (build_detector_from_cfg,
-                                   create_detector_inputs)
+    from tpu_bev3d.testing import build_detector_from_cfg
 
     cfg = Config.fromfile(args.config)
     model = build_detector_from_cfg(cfg.model)
-    pdim = int(cfg.model.get('voxel_encoder', {}).get(
-        'in_channels', cfg.model.get('voxel_encoder', {}).get(
-            'num_features', 4)))
-    # one DISTINCT batch per timed iteration: repeated identical args
-    # report impossibly fast times through the remote-TPU tunnel
-    # (appears memoized — see CLAUDE.md timing notes)
-    batches = []
-    for i in range(args.iters):
-        b = create_detector_inputs(
-            rng=__import__('numpy').random.default_rng(i),
-            batch_size=args.batch_size, num_points=args.num_points,
-            point_dim=pdim,
-            pc_range=tuple(cfg.model.point_cloud_range),
-            distribution=args.points_dist)
-        batches.append({k: jnp.asarray(v) for k, v in b.items()})
+    streaming = cfg.model.get('type') == 'StreamPETR'
+
+    host_batches = _bench_batches(cfg, args.iters, args.num_points,
+                                  args.batch_size, args.points_dist)
+    batches = [{k: jnp.asarray(v) for k, v in b.items()}
+               for b in host_batches]
     variables = jax.jit(lambda r, b: model.init(r, b, mode='tensor'))(
         jax.random.PRNGKey(0), batches[0])
+
+    def _acc(out):
+        return sum(jnp.sum(jnp.abs(l).astype(jnp.float32))
+                   for l in jax.tree_util.tree_leaves(out)
+                   if jnp.issubdtype(l.dtype, jnp.floating)) + 0.0
+
     # Scan-chained throughput: ONE jitted call runs every frame
     # back-to-back on device (lax.scan over stacked distinct batches)
     # and returns a single reduction that float() hard-reads back.
@@ -70,26 +104,46 @@ def main():
     # dispatches. One call + one readback = pure device throughput.
     stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *batches)
 
-    @jax.jit
-    def run_all(v, bs):
-        def body(carry, b):
-            out = model.apply(v, b, mode='predict')
-            return carry + jnp.sum(out['bboxes']), 0
-        acc, _ = jax.lax.scan(body, jnp.float32(0), bs)
-        return acc
+    if streaming:
+        # deployment-faithful streaming: memory propagates across frames
+        _, mem0 = model.apply(variables, batches[0], mode='predict')
+        mem0 = jax.tree_util.tree_map(jnp.zeros_like, mem0)
+
+        @jax.jit
+        def run_all(v, bs, m0):
+            def body(carry, b):
+                acc, mem = carry
+                out, mem = model.apply(v, b, memory=mem, mode='predict')
+                return (acc + _acc(out), mem), 0
+            (acc, _), _ = jax.lax.scan(body, (jnp.float32(0), m0), bs)
+            return acc
+
+        run = lambda v, bs: run_all(v, bs, mem0)
+    else:
+        @jax.jit
+        def run_all(v, bs):
+            def body(carry, b):
+                out = model.apply(v, b, mode='predict')
+                return carry + _acc(out), 0
+            acc, _ = jax.lax.scan(body, jnp.float32(0), bs)
+            return acc
+
+        run = run_all
 
     # warmup/compile on a perturbed copy (the tunnel memoizes repeated
     # identical calls)
     warm = jax.tree_util.tree_map(
         lambda x: x + jnp.asarray(0.001, x.dtype)
         if jnp.issubdtype(x.dtype, jnp.floating) else x, stacked)
-    _ = float(run_all(variables, warm))
+    _ = float(run(variables, warm))
     t0 = time.perf_counter()
-    _ = float(run_all(variables, stacked))
+    _ = float(run(variables, stacked))
     dt = time.perf_counter() - t0
     fps = args.iters * args.batch_size / dt
+    proto = 'streaming (memory-propagated) scan' if streaming \
+        else 'frames scan-chained'
     print(f'{fps:.2f} frames/s ({dt / args.iters * 1000:.2f} ms/iter, '
-          f'{args.iters} frames scan-chained, one readback)')
+          f'{args.iters} {proto}, one readback)')
 
 
 if __name__ == '__main__':

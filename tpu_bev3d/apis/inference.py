@@ -93,7 +93,8 @@ def _make_init_batch(cfg):
     # multi-camera (PETR/StreamPETR/ImVoxelNet) and LiDAR+camera fusion
     # (BEVFusion/MVXNet): full calibration stacks
     vt = m.get('view_transform', {}) or {}
-    image_size = tuple(vt.get('image_size', (256, 704)))
+    image_size = tuple(vt.get('image_size',
+                              m.get('image_size', (256, 704))))
     batch = create_multimodal_inputs(
         batch_size=1, num_points=1024, point_dim=_point_dim(cfg),
         image_size=image_size, pc_range=pcr)

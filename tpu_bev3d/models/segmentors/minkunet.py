@@ -30,23 +30,18 @@ from ..middle_encoders.sparse_encoder import SparseConvLayer
 
 def _parent_lookup(fine: SparseTensor, coarse: SparseTensor, stride=2):
     """For each fine voxel, row index of its stride-parent in coarse
-    (missing → N)."""
-    nz, ny, nx = coarse.spatial_shape
+    (missing → N). int32-safe on huge grids via build_coord_index."""
+    from ...ops.sparse_conv import build_coord_index, lookup_coords
     N = coarse.coords.shape[0]
     parent = jnp.concatenate(
         [fine.coords[:, :1],
          jnp.floor_divide(fine.coords[:, 1:], stride)], -1)
-    lin = (parent[:, 0] * (nz * ny * nx) + parent[:, 1] * (ny * nx)
-           + parent[:, 2] * nx + parent[:, 3])
-    clin = (coarse.coords[:, 0] * (nz * ny * nx)
-            + coarse.coords[:, 1] * (ny * nx)
-            + coarse.coords[:, 2] * nx + coarse.coords[:, 3])
-    big = jnp.int32(coarse.batch_size * nz * ny * nx)
-    clin = jnp.where(coarse.valid, clin, big)
-    order = jnp.argsort(clin)
-    pos = jnp.clip(jnp.searchsorted(clin[order], lin), 0, N - 1)
-    found = (clin[order][pos] == lin) & fine.valid
-    return jnp.where(found, order[pos], N)
+    parent = jnp.where(fine.valid[:, None], parent, -1)
+    index, _ = build_coord_index(coarse.coords, coarse.spatial_shape,
+                                 coarse.batch_size)
+    idx, _ = lookup_coords(index, parent, fine.valid,
+                           coarse.spatial_shape, coarse.batch_size, N)
+    return idx
 
 
 class SparseBasicBlock(nn.Module):

@@ -65,7 +65,9 @@ class SparseTensor:
 
 def _linearize(coords, spatial_shape, batch_size):
     # int32 linear ids: B * nz*ny*nx must stay < 2^31 (true for every
-    # reference grid: BEVFusion 1440*1440*41*B8 ≈ 6.8e8).
+    # reference grid: BEVFusion 1440*1440*41*B8 ≈ 6.8e8). Grids past that
+    # (the faithful MinkUNet SemanticKITTI grid is 4000*4000*800 = 1.3e10)
+    # take the pair-key path — see build_coord_index.
     nz, ny, nx = spatial_shape
     assert batch_size * nz * ny * nx < 2**31 - 1, 'grid too large for int32'
     valid = coords[:, 0] >= 0
@@ -75,27 +77,106 @@ def _linearize(coords, spatial_shape, batch_size):
     return jnp.where(valid, lin, BIG), valid
 
 
+def _fits_int32(spatial_shape, batch_size):
+    nz, ny, nx = spatial_shape
+    return batch_size * nz * ny * nx < 2**31 - 1
+
+
+def _pair_keys(coords, spatial_shape, batch_size):
+    """Two int32 lexicographic keys for grids past 2^31 cells:
+    ka = ((b*nz + z)*ny + y), kb = x. Invalid rows sort last."""
+    nz, ny, nx = spatial_shape
+    assert batch_size * nz * ny < 2**31 - 1, 'b*z*y plane > int32'
+    valid = coords[:, 0] >= 0
+    ka = (coords[:, 0] * nz + coords[:, 1]) * ny + coords[:, 2]
+    ka = jnp.where(valid, ka, jnp.int32(batch_size * nz * ny))
+    kb = jnp.where(valid, coords[:, 3], jnp.int32(nx))
+    return ka, kb, valid
+
+
+def build_coord_index(coords, spatial_shape, batch_size):
+    """Sorted lookup index over a coord table, int32-safe for any grid.
+
+    Small grids (< 2^31 cells): one linear key + argsort — a single
+    searchsorted per lookup. Huge grids: lexicographic (ka, kb) sort;
+    lookups do TWO searchsorteds via a run-id-compressed combined key
+    (run_id * (nx+2) + x fits int32 because run_id <= N_active rows).
+    Returns (index, valid)."""
+    N = coords.shape[0]
+    nz, ny, nx = spatial_shape
+    if _fits_int32(spatial_shape, batch_size):
+        lin, valid = _linearize(coords, spatial_shape, batch_size)
+        order = jnp.argsort(lin)
+        return ('lin', order, lin[order], None), valid
+    assert N * (nx + 2) < 2**31 - 1, 'active rows * nx > int32'
+    ka, kb, valid = _pair_keys(coords, spatial_shape, batch_size)
+    ka_s, kb_s, order = jax.lax.sort(
+        (ka, kb, jnp.arange(N, dtype=jnp.int32)), num_keys=2)
+    new_run = jnp.concatenate(
+        [jnp.ones((1,), bool), ka_s[1:] != ka_s[:-1]])
+    run_id = jnp.cumsum(new_run.astype(jnp.int32)) - 1
+    comb_s = run_id * jnp.int32(nx + 2) + kb_s
+    return ('pair', order, ka_s, (run_id, comb_s)), valid
+
+
+def lookup_coords(index, query_coords, query_valid, spatial_shape,
+                  batch_size, N):
+    """Row index of each query coord in the indexed table; (N, False)
+    where absent."""
+    mode, order, key_s, extra = index
+    nz, ny, nx = spatial_shape
+    in_grid = jnp.all(
+        (query_coords[:, 1:] >= 0)
+        & (query_coords[:, 1:] < jnp.asarray([nz, ny, nx])),
+        axis=-1) & query_valid
+    if mode == 'lin':
+        qlin = (query_coords[:, 0] * (nz * ny * nx)
+                + query_coords[:, 1] * (ny * nx)
+                + query_coords[:, 2] * nx + query_coords[:, 3])
+        pos = jnp.clip(jnp.searchsorted(key_s, qlin), 0, N - 1)
+        found = in_grid & (key_s[pos] == qlin)
+        return jnp.where(found, order[pos], N), found
+    run_id, comb_s = extra
+    qa = (query_coords[:, 0] * nz + query_coords[:, 1]) * ny \
+        + query_coords[:, 2]
+    pos_a = jnp.clip(jnp.searchsorted(key_s, qa), 0, N - 1)
+    run_found = in_grid & (key_s[pos_a] == qa)
+    qcomb = run_id[pos_a] * jnp.int32(nx + 2) + query_coords[:, 3]
+    pos = jnp.clip(jnp.searchsorted(comb_s, qcomb), 0, N - 1)
+    found = run_found & (comb_s[pos] == qcomb)
+    return jnp.where(found, order[pos], N), found
+
+
+def _sorted_unique_seg(cand, ok, out_shape, batch_size):
+    """Sort candidate coords and mark first-of-run rows (the shared
+    unique-site step of strided convs), int32-safe for any grid.
+    Returns (order, cand_sorted, ok_sorted, new_seg)."""
+    onz, ony, onx = out_shape
+    M = cand.shape[0]
+    if _fits_int32(out_shape, batch_size):
+        clin = (cand[:, 0] * (onz * ony * onx)
+                + cand[:, 1] * (ony * onx) + cand[:, 2] * onx + cand[:, 3])
+        clin = jnp.where(ok, clin, jnp.int32(batch_size * onz * ony * onx))
+        order = jnp.argsort(clin)
+        clin_s = clin[order]
+        adj_diff = clin_s[1:] != clin_s[:-1]
+    else:
+        ka, kb, _ = _pair_keys(jnp.where(ok[:, None], cand, -1),
+                               out_shape, batch_size)
+        ka_s, kb_s, order = jax.lax.sort(
+            (ka, kb, jnp.arange(M, dtype=jnp.int32)), num_keys=2)
+        adj_diff = (ka_s[1:] != ka_s[:-1]) | (kb_s[1:] != kb_s[:-1])
+    cand_s = cand[order]
+    vs = ok[order]
+    new_seg = vs & jnp.concatenate([jnp.ones((1,), bool), adj_diff])
+    return order, cand_s, vs, new_seg
+
+
 def _offsets(kernel_size):
     ks = np.broadcast_to(np.asarray(kernel_size), (3,))
     zz, yy, xx = np.meshgrid(np.arange(ks[0]), np.arange(ks[1]),
                              np.arange(ks[2]), indexing='ij')
     return np.stack([zz.ravel(), yy.ravel(), xx.ravel()], -1)  # [K,3]
-
-
-def _lookup(query_coords, query_valid, lin_sorted, order, spatial_shape,
-            batch_size, N):
-    """Find input row index for each query coord; N (dummy) if absent."""
-    nz, ny, nx = spatial_shape
-    in_grid = jnp.all((query_coords[:, 1:] >= 0)
-                      & (query_coords[:, 1:] < jnp.asarray([nz, ny, nx])),
-                      axis=-1) & query_valid
-    qlin = (query_coords[:, 0] * (nz * ny * nx)
-            + query_coords[:, 1] * (ny * nx) + query_coords[:, 2] * nx
-            + query_coords[:, 3])
-    pos = jnp.searchsorted(lin_sorted, qlin)
-    pos = jnp.clip(pos, 0, N - 1)
-    found = in_grid & (lin_sorted[pos] == qlin)
-    return jnp.where(found, order[pos], N), found
 
 
 def _gather_gemm(features, idx_all, found_all, weight, preferred=jnp.float32):
@@ -129,16 +210,15 @@ def build_subm_rulebook(st: SparseTensor, kernel_size=3):
     offs = _offsets(kernel_size)
     center = (np.broadcast_to(np.asarray(kernel_size), (3,)) - 1) // 2
     deltas = jnp.asarray(offs - center, jnp.int32)
-    lin, valid = _linearize(st.coords, st.spatial_shape, st.batch_size)
-    order = jnp.argsort(lin)
-    lin_sorted = lin[order]
+    index, valid = build_coord_index(st.coords, st.spatial_shape,
+                                     st.batch_size)
     N = st.coords.shape[0]
 
     def per_offset(d):
         q = st.coords.at[:, 1:].add(d)
         q = jnp.where(valid[:, None], q, -1)
-        return _lookup(q, valid, lin_sorted, order, st.spatial_shape,
-                       st.batch_size, N)
+        return lookup_coords(index, q, valid, st.spatial_shape,
+                             st.batch_size, N)
 
     return jax.vmap(per_offset)(deltas)
 
@@ -192,18 +272,9 @@ def sparse_conv3d(st: SparseTensor, weight, bias=None, kernel_size=3,
                         & (cand[:, 1:] < jnp.asarray(out_shape)), -1) & valid
     cand = jnp.where(in_bounds[:, None], cand, -1)
 
-    # unique candidate sites → new coord table (sorted by linear id)
-    onz, ony, onx = out_shape
-    clin = (cand[:, 0] * (onz * ony * onx)
-            + cand[:, 1] * (ony * onx) + cand[:, 2] * onx + cand[:, 3])
-    BIG = jnp.int32(st.batch_size * (onz * ony * onx))
-    clin = jnp.where(in_bounds, clin, BIG)
-    order = jnp.argsort(clin)
-    clin_s = clin[order]
-    cand_s = cand[order]
-    vs = in_bounds[order]
-    new_seg = vs & jnp.concatenate([jnp.ones((1,), bool),
-                                    clin_s[1:] != clin_s[:-1]])
+    # unique candidate sites → new coord table (sorted lexicographically)
+    _, cand_s, vs, new_seg = _sorted_unique_seg(cand, in_bounds, out_shape,
+                                                st.batch_size)
     uidx = jnp.cumsum(new_seg.astype(jnp.int32)) - 1
     out_coords = jnp.full((out_capacity, 4), -1, jnp.int32)
     ci = jnp.where(new_seg & (uidx < out_capacity), uidx, out_capacity)
@@ -211,9 +282,7 @@ def sparse_conv3d(st: SparseTensor, weight, bias=None, kernel_size=3,
     out_valid = out_coords[:, 0] >= 0
 
     # gather-GEMM: for each output site, input coord = site*stride - pad + off
-    lin_in, _ = _linearize(st.coords, st.spatial_shape, st.batch_size)
-    in_order = jnp.argsort(lin_in)
-    lin_in_sorted = lin_in[in_order]
+    index, _ = build_coord_index(st.coords, st.spatial_shape, st.batch_size)
     offs = jnp.asarray(_offsets(kernel_size), jnp.int32)     # [K, 3]
     pad_j = jnp.asarray(pad, jnp.int32)
 
@@ -221,8 +290,8 @@ def sparse_conv3d(st: SparseTensor, weight, bias=None, kernel_size=3,
         q_sp = out_coords[:, 1:] * strd_j - pad_j + off
         q = jnp.concatenate([out_coords[:, :1], q_sp], -1)
         q = jnp.where(out_valid[:, None], q, -1)
-        return _lookup(q, out_valid, lin_in_sorted, in_order,
-                       st.spatial_shape, st.batch_size, N)
+        return lookup_coords(index, q, out_valid, st.spatial_shape,
+                             st.batch_size, N)
 
     idx_all, found_all = jax.vmap(per_offset)(offs)
     out = _gather_gemm(st.features, idx_all, found_all, weight)
@@ -248,9 +317,7 @@ def sparse_inverse_conv3d(st: SparseTensor, target_coords, target_valid,
     strd = np.broadcast_to(np.asarray(stride), (3,))
     pad = np.broadcast_to(np.asarray(padding), (3,))
     N = st.coords.shape[0]
-    lin_in, _ = _linearize(st.coords, st.spatial_shape, st.batch_size)
-    in_order = jnp.argsort(lin_in)
-    lin_in_sorted = lin_in[in_order]
+    index, _ = build_coord_index(st.coords, st.spatial_shape, st.batch_size)
     offs = jnp.asarray(_offsets(kernel_size), jnp.int32)     # [K, 3]
     pad_j = jnp.asarray(pad, jnp.int32)
     strd_j = jnp.asarray(strd, jnp.int32)
@@ -264,8 +331,8 @@ def sparse_inverse_conv3d(st: SparseTensor, target_coords, target_valid,
                       & (s_sp < jnp.asarray(st.spatial_shape)), -1)
         q = jnp.concatenate([target_coords[:, :1], s_sp], -1)
         q = jnp.where(ok[:, None], q, -1)
-        idx, found = _lookup(q, ok, lin_in_sorted, in_order,
-                             st.spatial_shape, st.batch_size, N)
+        idx, found = lookup_coords(index, q, ok, st.spatial_shape,
+                                   st.batch_size, N)
         return idx, found & ok
 
     idx_all, found_all = jax.vmap(per_offset)(offs)

@@ -179,18 +179,30 @@ def dynamic_scatter(feats, coords, *, grid_shape, max_voxels: int,
     P, C = feats.shape
     gx, gy, gz = grid_shape
     valid = coords[:, 0] >= 0
-    lin = coords[:, 0] * (gy * gx) + coords[:, 1] * gx + coords[:, 2]
-    BIG = jnp.int32(gx * gy * gz)
-    lin = jnp.where(valid, lin, BIG)
-    order = jnp.argsort(lin, stable=True)
-    inv_order = jnp.argsort(order, stable=True)
-    lin_s = lin[order]
+    if gx * gy * gz < 2**31 - 1:
+        lin = coords[:, 0] * (gy * gx) + coords[:, 1] * gx + coords[:, 2]
+        lin = jnp.where(valid, lin, jnp.int32(gx * gy * gz))
+        order = jnp.argsort(lin, stable=True)
+        lin_s = lin[order]
+        adj_diff = lin_s[1:] != lin_s[:-1]
+    else:
+        # grids past 2^31 cells (e.g. the faithful MinkUNet SemanticKITTI
+        # grid 4000x4000x800, ref configs/_base_/models/minkunet.py:11-12)
+        # cannot linearize in int32 — lexicographic two-key sort instead:
+        # ka = z*gy + y (fits int32), kb = x
+        assert gz * gy < 2**31 - 1, 'z*y plane too large for int32'
+        ka = jnp.where(valid, coords[:, 0] * gy + coords[:, 1],
+                       jnp.int32(gz * gy))
+        kb = jnp.where(valid, coords[:, 2], jnp.int32(gx))
+        ka_s, kb_s, order = jax.lax.sort(
+            (ka, kb, jnp.arange(P, dtype=jnp.int32)), num_keys=2)
+        adj_diff = (ka_s[1:] != ka_s[:-1]) | (kb_s[1:] != kb_s[:-1])
     valid_s = valid[order]
     feats_s = feats[order]
     coords_s = coords[order]
 
     new_seg = valid_s & jnp.concatenate(
-        [jnp.ones((1,), bool), lin_s[1:] != lin_s[:-1]])
+        [jnp.ones((1,), bool), adj_diff])
     voxel_idx = jnp.cumsum(new_seg.astype(jnp.int32)) - 1
     seg = jnp.where(valid_s & (voxel_idx < max_voxels), voxel_idx, max_voxels)
 
@@ -211,7 +223,7 @@ def dynamic_scatter(feats, coords, *, grid_shape, max_voxels: int,
     ci = jnp.where(new_seg & (voxel_idx < max_voxels), voxel_idx, max_voxels)
     vcoords = vcoords.at[ci].set(coords_s, mode='drop')
     p2v_s = jnp.where(valid_s & (voxel_idx < max_voxels), voxel_idx, -1)
-    point2voxel = p2v_s[inv_order]
+    point2voxel = jnp.zeros((P,), jnp.int32).at[order].set(p2v_s)
     num_voxels = jnp.minimum(jnp.sum(new_seg.astype(jnp.int32)),
                              jnp.int32(max_voxels))
     return vf, vcoords, point2voxel, num_voxels
