@@ -342,7 +342,7 @@ def make_hungarian_assign():
     return hungarian_assign
 
 
-def _assemble(outs, eval_batches):
+def _assemble(outs, eval_batches, keep_thr=0.01):
     """Model outputs -> (preds, gts) lists for nuscenes_eval."""
     preds, gts = [], []
     for b, out in zip(eval_batches, outs):
@@ -351,8 +351,10 @@ def _assemble(outs, eval_batches):
         lb = np.asarray(out['labels'][0])
         # low cut: AP integrates over the score ranking, the threshold
         # only trims the padding tail (0.05 starved the eval at the
-        # few-hundred-step scale of this A/B)
-        keep = sc > 0.01
+        # few-hundred-step scale of this A/B; camera-only arms pass 0 —
+        # their absolute confidences stay below 0.01 at this scale while
+        # the RANKING is already informative)
+        keep = sc > keep_thr
         pad = 9 - bb.shape[-1]
         if pad > 0:
             bb = np.concatenate([bb, np.zeros((len(bb), pad))], -1)
@@ -365,14 +367,15 @@ def _assemble(outs, eval_batches):
     return preds, gts
 
 
-def _score(outs, eval_batches, classes):
+def _score(outs, eval_batches, classes, keep_thr=0.01):
     from tpu_bev3d.evaluation.functional.nuscenes_eval import nuscenes_eval
-    preds, gts = _assemble(outs, eval_batches)
+    preds, gts = _assemble(outs, eval_batches, keep_thr)
     return nuscenes_eval(preds, gts, classes)
 
 
 def train_and_eval(arm, cfg, train_batches, eval_batches, steps, lr,
-                   classes, log, matcher=None, eval_every=0):
+                   classes, log, matcher=None, eval_every=0,
+                   keep_thr=0.01):
     import jax
     import jax.numpy as jnp
     from tpu_bev3d.engine import (build_optimizer, create_train_state,
@@ -405,11 +408,12 @@ def train_and_eval(arm, cfg, train_batches, eval_batches, steps, lr,
             losses.append(float(metrics['loss']))
             log(f'  [{arm}] step {i:4d} loss {losses[-1]:.3f}')
         if eval_every and (i + 1) % eval_every == 0 and i + 1 < steps:
-            nds = _score(run_eval(state), eval_batches, classes)['NDS']
+            nds = _score(run_eval(state), eval_batches, classes,
+                         keep_thr)['NDS']
             log(f'  [{arm}] step {i + 1:4d} interim NDS {nds:.3f}')
     t_train = time.time() - t0
 
-    preds, gts = _assemble(run_eval(state), eval_batches)
+    preds, gts = _assemble(run_eval(state), eval_batches, keep_thr)
     n_pred = int(sum(len(p['scores']) for p in preds))
     n_gt = int(sum(len(g['labels']) for g in gts))
     log(f'  [{arm}] eval: {n_pred} preds vs {n_gt} GT over '
@@ -515,7 +519,8 @@ def main():
         results[arm] = train_and_eval(arm, cfg, train_batches, eval_batches,
                                       args.steps, args.lr, classes, log,
                                       matcher=matcher,
-                                      eval_every=args.eval_every)
+                                      eval_every=args.eval_every,
+                                      keep_thr=0.0 if cam_ab else 0.01)
     if args.json:
         import json
         print(json.dumps({a: {k: v for k, v in r.items() if k != 'loss_curve'}
