@@ -424,7 +424,44 @@ def train_and_eval(arm, cfg, train_batches, eval_batches, steps, lr,
     return dict(arm=arm, loss_curve=losses, train_s=round(t_train, 1),
                 NDS=metrics['NDS'], mAP=metrics['mAP'],
                 per_class={c: metrics.get(f'{c}_AP_dist_4.0', float('nan'))
-                           for c in ('car', 'truck', 'pedestrian')})
+                           for c in ('car', 'truck', 'pedestrian')},
+                state=state)
+
+
+def cross_eval(state, tgt_cfg, eval_batches, classes, keep_thr,
+               resample_window=None):
+    """Evaluate TRAINED weights under a DIFFERENT serving graph — the
+    deployment question behind each deviation: a checkpoint trained with
+    the exact lift served with depth_topk (and vice versa), or window-7
+    weights imported into the window-8 graph via the rel-pos-bias
+    bicubic resample (utils/torch_convert.relpos_bias_resample — the
+    same path reference w7 checkpoints take into the TPU-fast flagship).
+    """
+    import jax
+    from tpu_bev3d.testing import build_detector_from_cfg
+    model = build_detector_from_cfg(tgt_cfg.model)
+    variables = {'params': state.params, 'batch_stats': state.batch_stats}
+    if resample_window:
+        from flax.core import unfreeze
+        from tpu_bev3d.utils.torch_convert import relpos_bias_resample
+        variables = unfreeze(jax.device_get(variables))
+
+        def walk(node):
+            for k in list(node):
+                if isinstance(node[k], dict):
+                    walk(node[k])
+                elif k == 'rel_pos_bias':
+                    node[k] = relpos_bias_resample(np.asarray(node[k]),
+                                                   resample_window)
+        walk(variables['params'])
+    predict = jax.jit(
+        lambda v, b: model.apply(v, b, mode='predict', train=False))
+    outs = [predict(variables, b) for b in eval_batches]
+    m = _score(outs, eval_batches, classes, keep_thr)
+    return dict(NDS=m['NDS'], mAP=m['mAP'],
+                per_class={c: m.get(f'{c}_AP_dist_4.0', float('nan'))
+                           for c in ('car', 'truck', 'pedestrian')},
+                train_s=0.0)
 
 
 def main():
@@ -521,16 +558,31 @@ def main():
                                       matcher=matcher,
                                       eval_every=args.eval_every,
                                       keep_thr=0.0 if cam_ab else 0.01)
+    # cross-serving evals: trained weights under the other arm's graph —
+    # the deployment form of each deviation (see cross_eval docstring)
+    kt = 0.0 if cam_ab else 0.01
+    if args.ab == 'vt':
+        for src, tgt in (('exact', 'topk24'), ('topk24', 'exact')):
+            log(f'--- cross-eval: {src} weights under {tgt} graph ---')
+            results[f'{src}@{tgt}'] = cross_eval(
+                results[src]['state'], cfgs[tgt], eval_batches, classes, kt)
+    elif args.ab == 'swin':
+        log('--- cross-eval: win7 weights -> win8 graph (relpos '
+            'resample) ---')
+        results['win7@win8'] = cross_eval(
+            results['win7']['state'], cfgs['win8'], eval_batches, classes,
+            kt, resample_window=8)
     if args.json:
         import json
-        print(json.dumps({a: {k: v for k, v in r.items() if k != 'loss_curve'}
+        print(json.dumps({a: {k: v for k, v in r.items()
+                              if k not in ('loss_curve', 'state')}
                           for a, r in results.items()}))
     else:
-        print(f'\n{"arm":8s} {"NDS":>7s} {"mAP":>7s} '
+        print(f'\n{"arm":14s} {"NDS":>7s} {"mAP":>7s} '
               f'{"car":>7s} {"truck":>7s} {"ped":>7s} {"train_s":>8s}')
         for a, r in results.items():
             pc = r['per_class']
-            print(f'{a:8s} {r["NDS"]:7.3f} {r["mAP"]:7.3f} '
+            print(f'{a:14s} {r["NDS"]:7.3f} {r["mAP"]:7.3f} '
                   f'{pc["car"]:7.3f} {pc["truck"]:7.3f} '
                   f'{pc["pedestrian"]:7.3f} {r["train_s"]:8.1f}')
     return results
