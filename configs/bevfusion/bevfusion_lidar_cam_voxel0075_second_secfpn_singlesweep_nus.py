@@ -6,14 +6,21 @@
 # rule, window-7 Swin, exact interval-sum depth lift — only the padded
 # fixed-shape capacities differ. The base config's capacities
 # (max_voxels=120000, tile_capacity=20480) are provisioned for the
-# 10-sweep nuScenes train protocol; a single keyframe occupies far less:
-# measured on the real demo frame (tests/data/demo/nuscenes, 32,330
-# in-range points): 17,508 voxels, per-stage spconv-rule tile occupancy
-# 7487 / 5406 / 3024 / 1423 at tile (2,4,4). The capacities below keep
-# >=1.35x margin per stage (tile_capacity=12288, stage factor 0.6 ->
-# 12288/7376/4432/2664), so single-sweep inputs are processed EXACTLY —
-# the fixed-shape sizing discipline every config in this repo follows
-# (capacities are part of the input contract, not the semantics).
+# 10-sweep nuScenes train protocol; a single keyframe occupies far less.
+#
+# Measured on the real demo frame (tests/data/demo/nuscenes, 32,330
+# in-range points → 17,509 voxels; tools/probe_tile_occupancy.py):
+# per-stage spconv-rule tile demand at tile (2,4,4) is
+#   input 7487 → after-down0 8695 → after-down1 5225 → after-down2 2202.
+# NOTE the exact spconv rule DILATES the active set at the first
+# stride-2 downsample (8695 > 7487), so a monotone shrink factor cannot
+# express the right schedule: the earlier factor-march sizing
+# (12288 / 7376 / 4432 / 2664) silently DROPPED ~1300 + ~800 active
+# tiles at stages 0/1 — a faithfulness deviation. The explicit
+# per-stage capacities below keep ≥1.25× margin everywhere, so
+# single-sweep inputs are processed EXACTLY — the fixed-shape sizing
+# discipline every config in this repo follows (capacities are part of
+# the input contract, not the semantics).
 #
 # Use this for keyframe-only eval/serving; use the base config for
 # multisweep training.
@@ -22,7 +29,6 @@ _base_ = './bevfusion_lidar_cam_voxel0075_second_secfpn_nus.py'
 model = dict(
     max_voxels=36000,
     middle_encoder=dict(
-        tile_capacity=12288,
-        tile_stage_factor=0.6,
+        tile_capacities=[9360, 10872, 6536, 2752],
     ),
 )

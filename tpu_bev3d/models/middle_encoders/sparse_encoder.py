@@ -115,6 +115,14 @@ class SparseEncoder(nn.Module):
     tile_shape: Tuple[int, int, int] = (2, 4, 4)
     tile_capacity: int = 4096    # active tiles PER SAMPLE ('tile' backend)
     tile_stage_factor: float = 0.5   # tile-capacity shrink per downsample
+    # explicit per-stage capacities [input, after_down0, after_down1, ...]
+    # (PER SAMPLE; overrides the factor march). The spconv rule DILATES
+    # the active set at the first stride-2 downsample (real demo frame:
+    # 6960 input tiles -> 8146 after stage0, tools/probe_tile_occupancy),
+    # so a monotone factor schedule either over-provisions the input or
+    # silently drops post-downsample active sites — measured schedules
+    # belong in the config.
+    tile_capacities: Optional[Sequence[int]] = None
     tile_dtype: str = ''         # tile GEMM compute dtype (e.g. 'bfloat16')
     active_rule: str = 'floor'   # 'spconv' = exact receptive-field rule
 
@@ -126,7 +134,9 @@ class SparseEncoder(nn.Module):
         st = SparseTensor(voxel_features, coors, tuple(self.sparse_shape),
                           batch_size)
         if self.backend == 'tile':
-            cap = self.tile_capacity * batch_size
+            caps = ([int(c) * batch_size for c in self.tile_capacities]
+                    if self.tile_capacities else None)
+            cap = caps[0] if caps else self.tile_capacity * batch_size
             st = tiles_from_sparse(st, self.tile_shape, cap)
             rb = None
         else:
@@ -147,8 +157,9 @@ class SparseEncoder(nn.Module):
                 # sparse_encoder.py:176-243)
                 if j == len(stage) - 1 and i != n_stages - 1:
                     if self.backend == 'tile':
-                        cap = max(-(-int(cap * self.tile_stage_factor)
-                                    // 8) * 8, 8)
+                        cap = caps[i + 1] if caps else max(
+                            -(-int(cap * self.tile_stage_factor) // 8) * 8,
+                            8)
                     else:
                         cap = max(int(cap * self.stage_capacity_factor), 1)
                     st = SparseConvLayer(
