@@ -294,6 +294,10 @@ def build_cam_cfgs(ab):
         vt.ybound = [-54.0, 54.0, 2.25]
         vt.dbound = [1.0, 54.0, 0.5]          # 106 bins; topk 24 ~= the
         vt.depth_topk = knob.get('depth_topk', 24)   # flagship's 24/118
+        # keep the lifted 48x48 BEV at full resolution: the head decode
+        # below assumes a 2.25 m cell (downsample=2 would halve the grid
+        # and silently push every heatmap target out of range)
+        vt.downsample = 1
         m.backbone.in_channels = 64
         m.backbone.out_channels = [64, 128]
         m.backbone.layer_nums = [2, 2]
