@@ -379,7 +379,7 @@ def _score(outs, eval_batches, classes, keep_thr=0.01):
 
 def train_and_eval(arm, cfg, train_batches, eval_batches, steps, lr,
                    classes, log, matcher=None, eval_every=0,
-                   keep_thr=0.01):
+                   keep_thr=0.01, seed=0):
     import jax
     import jax.numpy as jnp
     from tpu_bev3d.engine import (build_optimizer, create_train_state,
@@ -396,7 +396,8 @@ def train_and_eval(arm, cfg, train_batches, eval_batches, steps, lr,
     tx, _ = build_optimizer(dict(type='adamw', lr=lr), total_steps=steps,
                             clip_grad_norm=35.0)
     t0 = time.time()
-    state = create_train_state(model, train_batches[0], tx)
+    state = create_train_state(model, train_batches[0], tx,
+                               rng=jax.random.PRNGKey(seed))
     step_fn = make_train_step(model, tx, donate=False)
     predict = jax.jit(
         lambda v, b: model.apply(v, b, mode='predict', train=False))
@@ -494,6 +495,12 @@ def main():
     p.add_argument('--no-real', action='store_true',
                    help='skip the real fixture frames (pure synthetic)')
     p.add_argument('--json', action='store_true', help='print one JSON line')
+    p.add_argument('--seed', type=int, default=0,
+                   help='model-init PRNG seed (data seeds stay fixed) — '
+                        'for multi-seed replication of noisy tiny arms')
+    p.add_argument('--only', default='',
+                   help='comma list of arm names to train (others skipped; '
+                        'cross-evals needing a skipped arm are skipped)')
     args = p.parse_args()
 
     import jax
@@ -554,23 +561,30 @@ def main():
                 ('hungarian', cfgs['column'], 'hungarian')]
     else:
         arms = [(a, c, None) for a, c in cfgs.items()]
+    if args.only:
+        keep = {a.strip() for a in args.only.split(',') if a.strip()}
+        arms = [t for t in arms if t[0] in keep]
     results = {}
     for arm, cfg, matcher in arms:
-        log(f'--- training {arm} arm ({args.steps} steps) ---')
+        log(f'--- training {arm} arm ({args.steps} steps, '
+            f'seed {args.seed}) ---')
         results[arm] = train_and_eval(arm, cfg, train_batches, eval_batches,
                                       args.steps, args.lr, classes, log,
                                       matcher=matcher,
                                       eval_every=args.eval_every,
-                                      keep_thr=0.0 if cam_ab else 0.01)
+                                      keep_thr=0.0 if cam_ab else 0.01,
+                                      seed=args.seed)
     # cross-serving evals: trained weights under the other arm's graph —
     # the deployment form of each deviation (see cross_eval docstring)
     kt = 0.0 if cam_ab else 0.01
     if args.ab == 'vt':
         for src, tgt in (('exact', 'topk24'), ('topk24', 'exact')):
+            if src not in results:
+                continue
             log(f'--- cross-eval: {src} weights under {tgt} graph ---')
             results[f'{src}@{tgt}'] = cross_eval(
                 results[src]['state'], cfgs[tgt], eval_batches, classes, kt)
-    elif args.ab == 'swin':
+    elif args.ab == 'swin' and 'win7' in results:
         log('--- cross-eval: win7 weights -> win8 graph (relpos '
             'resample) ---')
         results['win7@win8'] = cross_eval(
