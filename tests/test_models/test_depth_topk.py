@@ -176,6 +176,39 @@ def _feats_of(mm, variables, img, cam):
     return y[..., mm.D:]
 
 
+def test_topk_pack_matches_pair_sort():
+    """topk_pack=True (single-operand packed int sort, predict-only)
+    must reproduce the pair-sort top-k lift within the depth
+    quantization tolerance when the depth softmax has no near-ties
+    (ties at the 2^-19 quantization step may legitimately swap which
+    bin is kept); train=True must fall back to the pair sort exactly."""
+    B, N = 1, 2
+    rng = np.random.RandomState(13)
+    # scaled random logits -> well-separated softmax values per pixel
+    img = (rng.randn(B, N, 8, 22, 16) * 2.0).astype(np.float32)
+    cam = _cam_params(B, N, rng)
+    m_ref = _build(5)
+    variables = m_ref.init(jax.random.PRNGKey(0), jnp.asarray(img), cam)
+    out_ref, _ = m_ref.apply(variables, jnp.asarray(img), cam)
+
+    m_pack = _build(5, topk_pack=True)
+    out_pack, _ = m_pack.apply(variables, jnp.asarray(img), cam)
+    a, b = np.asarray(out_pack), np.asarray(out_ref)
+    denom = max(1e-6, float(np.abs(b).max()))
+    assert np.max(np.abs(a - b)) / denom < 1e-3
+
+    # train mode ignores the packed path (no depth gradient through int
+    # packing) -> bit-identical to the pair-sort model in train mode
+    out_tr_pack, _ = m_pack.apply(variables, jnp.asarray(img), cam,
+                                  train=True,
+                                  rngs={'dropout': jax.random.PRNGKey(1)})
+    out_tr_ref, _ = m_ref.apply(variables, jnp.asarray(img), cam,
+                                train=True,
+                                rngs={'dropout': jax.random.PRNGKey(1)})
+    np.testing.assert_array_equal(np.asarray(out_tr_pack),
+                                  np.asarray(out_tr_ref))
+
+
 def test_static_pool_matches_dynamic_exact():
     """static_pool=True with a registered rig plan must reproduce the
     dynamic exact-lift forward (same contributions, f32 accumulation;

@@ -64,6 +64,16 @@ class BaseLSS(nn.Module):
     # topk_approx measured neutral. See docs/benchmarks.md.
     geom_at_bins: bool = False
     topk_approx: bool = False
+    # PACKED top-k selection (predict only): quantize the softmax depth
+    # into the spare high bits of ONE int32 whose low bits carry the
+    # flat BEV rank, single-operand lax.sort along D, static [:k] slice,
+    # unpack. Halves the sort's operand traffic vs the (key, value) pair
+    # sort above — the pair sort is ~9 ms of the flagship's 12.4 ms
+    # lift/pool budget. The reconstructed weights are renormalized over
+    # the kept mass, so the quantization error (2^-13 relative at the
+    # flagship grid) sits below the bf16 feature noise floor. Training
+    # keeps the pair sort (integer packing has no depth gradient).
+    topk_pack: bool = False
     # Scatter-free EXACT pool for a FIXED rig (serving): look up a
     # precomputed bucketed-gather plan (ops/bev_pool_static.py,
     # registered under ``pool_plan_key`` by ensure_pool_plan) and pool
@@ -261,9 +271,23 @@ class BaseLSS(nn.Module):
                 B_, N_, fH_, fW_ = depth.shape[:4]
                 rk = rk.reshape(B_, N_, self.D, fH_, fW_) \
                     .transpose(0, 1, 3, 4, 2)           # [B,N,fH,fW,D]
-            negd, rsel = jax.lax.sort_key_val(-depth, rk, dimension=-1)
-            topv = -negd[..., :k]                       # [B,N,fH,fW,k]
-            rsel = rsel[..., :k]
+            nbits_rank = int(nz * nx * ny).bit_length()
+            if self.topk_pack and not train and nbits_rank <= 22:
+                # single-operand packed sort (see field doc); rank fits
+                # the low bits with >= 8 bits of depth resolution left
+                nbits_depth = 30 - nbits_rank
+                qmax = (1 << nbits_depth) - 1
+                dq = jnp.clip(jnp.round(depth * qmax), 0, qmax) \
+                    .astype(jnp.int32)
+                key = ((qmax - dq) << nbits_rank) | rk
+                key = jax.lax.sort(key, dimension=-1)[..., :k]
+                rsel = key & ((1 << nbits_rank) - 1)    # [B,N,fH,fW,k]
+                topv = (qmax - (key >> nbits_rank)) \
+                    .astype(jnp.float32) / qmax
+            else:
+                negd, rsel = jax.lax.sort_key_val(-depth, rk, dimension=-1)
+                topv = -negd[..., :k]                   # [B,N,fH,fW,k]
+                rsel = rsel[..., :k]
             # renormalize so the kept mass still sums to 1
             topv = topv / jnp.maximum(
                 jnp.sum(topv, -1, keepdims=True), 1e-6)
