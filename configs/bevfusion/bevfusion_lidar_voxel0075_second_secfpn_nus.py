@@ -30,8 +30,16 @@ model = dict(
         # reference-faithful sparse encoder
         backend='tile',
         tile_shape=(2, 4, 4),
-        tile_capacity=20480,
-        tile_stage_factor=0.5,
+        # Explicit per-stage capacities (10-sweep train provisioning).
+        # The exact spconv rule DILATES the active tile set at the
+        # first stride-2 downsample (measured keyframe demand
+        # 7487 -> 8695 -> 5225 -> 2202, tools/probe_tile_occupancy.py),
+        # so a monotone shrink schedule under-provisions stages 1-2:
+        # the old 20480 x0.5 march (20480/10240/5120/2560) sat BELOW
+        # keyframe demand at stage 2 (5120 < 5225). Stage-0 provision
+        # stays 20480 (10-sweep headroom); deeper stages follow the
+        # measured dilation shape (x1.16 / x0.60 / x0.42).
+        tile_capacities=[20480, 23784, 14296, 6024],
         tile_dtype='bfloat16',
         active_rule='spconv'),
     backbone=dict(

@@ -26,6 +26,10 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument('--cap', type=int, default=20480)
     ap.add_argument('--factor', type=float, default=0.5)
+    ap.add_argument('--caps', type=str, default=None,
+                    help='explicit per-stage tile capacities, comma list '
+                         '(e.g. the serving config\'s 9360,10872,6536,2752)'
+                         ' — overrides --cap/--factor')
     ap.add_argument('--max-voxels', type=int, default=36000)
     args = ap.parse_args()
 
@@ -67,9 +71,13 @@ def main():
     print(f'{n} real voxels, voxel table cap {cap_v}, '
           f'tile cap {args.cap} x{args.factor}')
 
-    caps = [args.cap]
-    for _ in range(3):
-        caps.append(max(-(-int(caps[-1] * args.factor) // 8) * 8, 8))
+    if args.caps:
+        caps = [int(c) for c in args.caps.split(',')]
+        assert len(caps) == 4, '--caps needs 4 per-stage values'
+    else:
+        caps = [args.cap]
+        for _ in range(3):
+            caps.append(max(-(-int(caps[-1] * args.factor) // 8) * 8, 8))
 
     def timed(name, fn, x0):
         def run(x0):

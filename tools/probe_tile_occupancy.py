@@ -26,9 +26,10 @@ def main():
     from tpu_bev3d.ops import tile_sparse as ts
     from tpu_bev3d.ops.voxelize import batch_hard_voxelize
 
-    cfg = Config.fromfile(
-        'configs/bevfusion/bevfusion_lidar_cam_voxel0075_second_secfpn_'
-        'staticpool_nus.py')
+    cfg_path = (sys.argv[1] if len(sys.argv) > 1 else
+                'configs/bevfusion/bevfusion_lidar_cam_voxel0075_second_'
+                'secfpn_staticpool_nus.py')
+    cfg = Config.fromfile(cfg_path)
     m = cfg.model
     batch = _make_real_batch(cfg, num_points=36000)
     if batch is None:
