@@ -45,6 +45,11 @@ class DataLoader:
 
     def _local_len(self):
         n = len(self.dataset)
+        if self.world_size > 1 and self.drop_last:
+            # equalized stripes: every rank sees exactly n // world
+            # samples so all ranks run the SAME number of collective
+            # steps per epoch (ref torch DistributedSampler drop_last)
+            return n // self.world_size
         return len(range(self.rank, n, self.world_size))
 
     def __len__(self):
@@ -62,6 +67,8 @@ class DataLoader:
             np.random.default_rng(self.seed + self._epoch).shuffle(idxs)
         if self.world_size > 1:
             idxs = idxs[self.rank::self.world_size]
+            if self.drop_last:
+                idxs = idxs[:len(self.dataset) // self.world_size]
         bs = self.batch_size
         batches = [idxs[i:i + bs] for i in range(0, len(idxs), bs)]
         if self.drop_last:

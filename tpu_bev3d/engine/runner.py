@@ -19,8 +19,8 @@ from ..registry import DATASETS, METRICS, MODELS
 from .hooks import (BenchmarkHook, CheckpointHook, DisableObjectSampleHook,
                     Hook, LoggerHook)
 from .optim import build_optimizer
-from .train_loop import (data_mesh, make_eval_step, make_train_step,
-                         replicate_state, shard_batch)
+from .train_loop import (data_mesh, host_local_rows, make_eval_step,
+                         make_train_step, place_batch, replicate_state)
 from .train_state import create_train_state
 
 
@@ -37,8 +37,25 @@ class Runner:
         self.batch_size = tcfg.get('batch_size', 1)
         # use as many devices as divide the batch (data-parallel over ICI)
         import math
-        n_dev = math.gcd(self.batch_size, len(jax.devices())) or 1
-        self.mesh = data_mesh(jax.devices()[:n_dev])
+        if jax.process_count() > 1:
+            # multi-process launch (tools/dist_train.sh / TPU pod):
+            # cfg batch_size is PER HOST (reference per-GPU semantics) —
+            # the global batch is batch_size x process_count, sharded
+            # over the SAME number of devices on every host (as many as
+            # divide the per-host batch) so each host's loader stripe is
+            # its contiguous shard of the global batch
+            per_proc = math.gcd(self.batch_size,
+                                jax.local_device_count()) or 1
+            taken, sel = {}, []
+            for d in jax.devices():   # ordered by (process, local id)
+                c = taken.setdefault(d.process_index, 0)
+                if c < per_proc:
+                    sel.append(d)
+                    taken[d.process_index] = c + 1
+            self.mesh = data_mesh(sel)
+        else:
+            n_dev = math.gcd(self.batch_size, len(jax.devices())) or 1
+            self.mesh = data_mesh(jax.devices()[:n_dev])
         self.max_epochs = tcfg.get('max_epochs', 1)
         self.resume = resume
         self.state = None
@@ -67,16 +84,40 @@ class Runner:
         per-sample metric state, then gather across hosts (SURVEY §2.5:
         shard the val set per host, gather metric states; ref mmengine
         BaseMetric rank-0 collect)."""
-        import jax.numpy as jnp
         from .train_loop import gather_metric_results, pad_batch_dim0
-        for host_batch in loader:
-            arrays, n_valid = pad_batch_dim0(host_batch, self.batch_size)
-            batch = {k: jnp.asarray(v) for k, v in arrays.items()}
-            batch = shard_batch(batch, self.mesh)
-            preds = jax.device_get(eval_fn(state, batch))
-            if n_valid < self.batch_size:
-                preds = {k: v[:n_valid] for k, v in preds.items()}
-            metric.process(preds, host_batch)
+        # multi-process: every rank must run the SAME number of sharded
+        # eval steps (they are collectives) even when val stripes are
+        # uneven — ranks past their last batch re-feed it with 0 valid
+        # rows (ref torch DistributedSampler padding; here no duplicate
+        # metric entries, the padding rows are simply not processed)
+        n_local = len(loader)
+        n_steps = n_local
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+            n_steps = int(multihost_utils.process_allgather(
+                np.asarray([n_local])).max())
+            if n_local == 0 and n_steps > 0:
+                raise ValueError(
+                    'empty val stripe on this host: the val set has fewer '
+                    'samples than processes — shrink the process count or '
+                    'grow the val set')
+        it = iter(loader)
+        host_batch = None
+        for i in range(n_steps):
+            n_valid = None
+            if i < n_local:
+                host_batch = next(it)
+                arrays, n_valid = pad_batch_dim0(host_batch,
+                                                 self.batch_size)
+            else:
+                arrays, _ = pad_batch_dim0(host_batch, self.batch_size)
+                n_valid = 0
+            batch = place_batch(arrays, self.mesh)
+            preds = host_local_rows(eval_fn(state, batch))
+            if n_valid:
+                if n_valid < self.batch_size:
+                    preds = {k: v[:n_valid] for k, v in preds.items()}
+                metric.process(preds, host_batch)
         metric.results = gather_metric_results(metric.results)
         return metric.compute_metrics()
 
@@ -90,7 +131,7 @@ class Runner:
     def train(self):
         tcfg = self.cfg.train_cfg
         ds, loader = self._build_loader(self.cfg.train_dataloader.dataset,
-                                        shuffle=True)
+                                        shuffle=True, striped=True)
         self.train_dataset = ds
         steps_per_epoch = max(len(loader), 1)
         total_steps = steps_per_epoch * self.max_epochs
@@ -141,9 +182,9 @@ class Runner:
                 if prof and step == prof[0]:
                     jax.profiler.start_trace(
                         os.path.join(self.work_dir, 'trace'))
-                batch = {k: jnp.asarray(v) for k, v in host_batch.items()
+                batch = {k: v for k, v in host_batch.items()
                          if k != 'metainfo'}
-                batch = shard_batch(batch, self.mesh)
+                batch = place_batch(batch, self.mesh)
                 self.state, metrics = step_fn(self.state, batch)
                 step += 1
                 if prof and step == prof[1]:

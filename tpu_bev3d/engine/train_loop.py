@@ -155,6 +155,14 @@ def init_distributed(coordinator_address=None, num_processes=None,
     on_pod = bool(os.environ.get('TPU_WORKER_HOSTNAMES'))
     if not (explicit or env_addr or on_pod):
         return False
+    # JAX reads JAX_COORDINATOR_ADDRESS itself but NOT the process
+    # count/id (verified against jax 0.9 jax._src.distributed), so the
+    # manual-launch path (tools/dist_train.sh NPROCS=k) exports
+    # JAX_NUM_PROCESSES / JAX_PROCESS_ID and we forward them here.
+    if num_processes is None and os.environ.get('JAX_NUM_PROCESSES'):
+        num_processes = os.environ['JAX_NUM_PROCESSES']
+    if process_id is None and os.environ.get('JAX_PROCESS_ID'):
+        process_id = os.environ['JAX_PROCESS_ID']
     kwargs = {}
     if coordinator_address is not None:
         kwargs['coordinator_address'] = coordinator_address
@@ -183,7 +191,44 @@ def global_data_mesh(axis: str = 'data') -> Mesh:
 def shard_host_local_batch(batch, mesh: Mesh, axis: str = 'data'):
     """Multi-host batch placement: each process contributes its local
     shard of the global batch (ref DDP per-rank loaders)."""
+    import numpy as np
     sharding = NamedSharding(mesh, P(axis))
     return jax.tree_util.tree_map(
-        lambda x: jax.make_array_from_process_local_data(sharding, x),
+        lambda x: jax.make_array_from_process_local_data(
+            sharding, np.asarray(x)),
         batch)
+
+
+def place_batch(batch, mesh: Mesh, axis: str = 'data'):
+    """Batch placement that is correct in BOTH launch modes: plain
+    device_put of the host batch single-process; per-process local-shard
+    contribution (jax.make_array_from_process_local_data) when launched
+    multi-process via tools/dist_train.sh / a TPU pod — where each host's
+    loader stripe is its shard of the global batch."""
+    if jax.process_count() > 1:
+        return shard_host_local_batch(batch, mesh, axis)
+    return shard_batch(batch, mesh, axis)
+
+
+def host_local_rows(tree):
+    """Read back THIS process's rows of batch-dim-0-sharded global
+    outputs — the inverse of shard_host_local_batch (each host's loader
+    provided those rows, so its metric processes exactly them).
+    Single-process / fully-addressable arrays: plain device_get."""
+    import numpy as np
+
+    def get(x):
+        if isinstance(x, jax.Array) and not x.is_fully_addressable:
+            shards = sorted(x.addressable_shards,
+                            key=lambda s: s.index[0].start or 0)
+            parts, seen = [], set()
+            for s in shards:   # dedupe replicas (replicated outputs)
+                key = tuple((sl.start, sl.stop) for sl in s.index)
+                if key in seen:
+                    continue
+                seen.add(key)
+                parts.append(np.asarray(s.data))
+            return parts[0] if len(parts) == 1 else np.concatenate(parts, 0)
+        return np.asarray(x)
+
+    return jax.tree_util.tree_map(get, tree)
