@@ -62,6 +62,14 @@ def main():
                         'the default); "uniform" = uniform random (the '
                         'legacy protocol; pathological for sparsity-'
                         'exploiting backends)')
+    p.add_argument('--protocol', default='scan', choices=['scan', 'calls'],
+                   help='"scan" = one jitted lax.scan over all frames + one '
+                        'readback (pure device throughput, the default); '
+                        '"calls" = one jitted call + hard float() readback '
+                        'per frame. Use "calls" for graphs whose scan form '
+                        'faults the remote worker (legacy flat-sparse '
+                        'encoders); its number is an UPPER bound on latency '
+                        '(includes ~23 ms/call tunnel RTT + host dispatch).')
     args = p.parse_args()
 
     import jax
@@ -102,6 +110,25 @@ def main():
     # returns early for some zoo graphs on the remote tunnel (reported
     # sub-ms FPS), and chaining per-output readbacks pays ~100 tiny
     # dispatches. One call + one readback = pure device throughput.
+    if args.protocol == 'calls':
+        # Per-frame fallback: one jitted call + one hard scalar readback
+        # per frame. Pays the ~23 ms tunnel RTT + host dispatch per call,
+        # so the fps is an UPPER bound on per-frame latency — but it does
+        # not build the N-step scan graph that faults the remote worker
+        # for the legacy flat-sparse encoders (docs/benchmarks.md known
+        # issue).
+        fwd = jax.jit(lambda v, b: _acc(model.apply(v, b, mode='predict')))
+        for b in batches[:2]:                       # compile + warm
+            _ = float(fwd(variables, b))
+        t0 = time.perf_counter()
+        for b in batches:
+            _ = float(fwd(variables, b))
+        dt = time.perf_counter() - t0
+        fps = len(batches) * args.batch_size / dt
+        print(f'{fps:.2f} frames/s ({dt / len(batches) * 1000:.2f} '
+              f'ms/iter, {len(batches)} per-call sync incl. tunnel RTT)')
+        return
+
     stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *batches)
 
     if streaming:

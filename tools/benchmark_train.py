@@ -50,10 +50,16 @@ def main():
                 image_size=tuple(vt.get('image_size', (256, 704))),
                 pc_range=tuple(cfg.model.point_cloud_range),
                 with_velocity=True)
+        # GT box dim must match the head's code: a with_velocity head
+        # slices b[:, 7:9], which on 7-dim boxes silently yields a 0-wide
+        # anno and a code-weight broadcast error in loss_by_feat
+        wv = bool(cfg.model.get('bbox_head', {}).get('with_velocity',
+                                                     False))
         return create_detector_inputs(
             rng=np.random.default_rng(seed), batch_size=bsz,
             num_points=args.num_points, point_dim=pdim,
-            pc_range=tuple(cfg.model.point_cloud_range))
+            pc_range=tuple(cfg.model.point_cloud_range),
+            with_velocity=wv)
 
     host_batches = [mk_host(i) for i in range(4)]
 

@@ -206,6 +206,11 @@ class CenterHead(nn.Module):
                 b[:, 2:3], dims,
                 jnp.sin(b[:, 6:7]), jnp.cos(b[:, 6:7])]
         if self.with_velocity:
+            if gtb.shape[-1] < 9:
+                raise ValueError(
+                    f'with_velocity head needs 9-dim gt boxes '
+                    f'(x,y,z,w,l,h,yaw,vx,vy), got {gtb.shape[-1]}-dim — '
+                    f'b[:, 7:9] would silently be 0-wide')
             anno.append(b[:, 7:9])
         anno = jnp.concatenate(anno, -1)
         return heatmap, anno, inds, om, local_cls[sel]
