@@ -19,7 +19,12 @@ model = dict(
         in_channels=6,
         base_channels=32,
         encoder_channels=[32, 64, 128, 256],
-        decoder_channels=[256, 128, 96, 96]),
+        decoder_channels=[256, 128, 96, 96],
+        # ~2.5x margin over measured cylindrical stride-2 demand
+        # (120k-pt scan → 31k input / 12.7k/4.9k/1.4k/0.5k per stage);
+        # the cylindrical grid coarsens fast in (rho,phi), so deep
+        # stages were >99% padding at the 120k input capacity
+        stage_capacities=[32000, 12800, 4000, 1600]),
 )
 
 train_cfg = dict(

@@ -18,7 +18,12 @@ model = dict(
         in_channels=4,
         base_channels=32,
         encoder_channels=[32, 64, 128, 256],
-        decoder_channels=[256, 128, 96, 96]),
+        decoder_channels=[256, 128, 96, 96],
+        # ~2x margin over measured stride-2 demand (120k-pt scan →
+        # 42k/25k/13k/7k active voxels per stage); without these every
+        # stage ran at the 120k input capacity and the 256-ch stage
+        # gathered ~3.3 GB per conv
+        stage_capacities=[84000, 52000, 28000, 14400]),
 )
 
 train_cfg = dict(

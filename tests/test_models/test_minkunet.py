@@ -51,6 +51,45 @@ def test_minkunet_seg():
     assert m2.compute_metrics()['miou'] == 1.0
 
 
+def test_minkunet_stage_capacities_exact():
+    """Ample per-stage capacities change only the padded table sizes:
+    point predictions must match the legacy full-capacity graph exactly
+    (the flat strided conv assigns output slots in linear-id order, so a
+    capacity that covers every active site is a pure relayout)."""
+    base = dict(
+        type='MinkUNet',
+        num_classes=5,
+        voxel_size=[0.8, 0.8, 0.4],
+        point_cloud_range=[-12.8, -12.8, -3.2, 12.8, 12.8, 3.2],
+        max_voxels=512,
+        backbone=dict(
+            type='MinkUNetBackbone',
+            in_channels=4,
+            base_channels=8,
+            encoder_channels=[8, 16, 32, 32],
+            encoder_blocks=[1, 1, 1, 1],
+            decoder_channels=[32, 16, 16, 16],
+            decoder_blocks=[1, 1, 1, 1]))
+    import copy
+    capped = copy.deepcopy(base)
+    # PER-SAMPLE caps; 256 pts/sample on a 32x32x16 grid keeps every
+    # stage's demand well under these
+    capped['backbone']['stage_capacities'] = [384, 256, 192, 128]
+    rng = np.random.default_rng(3)
+    B, P = 2, 256
+    pts = rng.uniform([-12, -12, -3, 0], [12, 12, 3, 1],
+                      (B, P, 4)).astype(np.float32)
+    batch = dict(points=jnp.asarray(pts),
+                 points_mask=jnp.ones((B, P), bool))
+    m0 = build_detector_from_cfg(base)
+    m1 = build_detector_from_cfg(capped)
+    v = m0.init(jax.random.PRNGKey(0), batch, mode='tensor')
+    # same param tree (capacities are not parameters) → reuse weights
+    out0 = np.asarray(m0.apply(v, batch, mode='tensor'))
+    out1 = np.asarray(m1.apply(v, batch, mode='tensor'))
+    np.testing.assert_allclose(out1, out0, rtol=1e-5, atol=1e-5)
+
+
 def test_cylinder3d_seg():
     cfg = dict(
         type='Cylinder3D',

@@ -14,7 +14,7 @@ dynamic voxelization.
 """
 from __future__ import annotations
 
-from typing import Any, Sequence, Tuple
+from typing import Any, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -112,6 +112,18 @@ class MinkUNetBackbone(nn.Module):
     encoder_blocks: Sequence[int] = (2, 2, 2, 2)
     decoder_channels: Sequence[int] = (256, 128, 96, 96)
     decoder_blocks: Sequence[int] = (2, 2, 2, 2)
+    # PER-SAMPLE per-encoder-stage row capacities for the downsampled
+    # tables (multiplied by batch_size — the flat table is shared, so
+    # the budget pools across the batch).
+    # Without them every stage inherits the INPUT capacity, and the flat
+    # backend's 27 row-gathers per conv move the full padded table at
+    # every width — at SemanticKITTI scale the deepest stage gathers
+    # 27×120k rows of 256 channels (~3.3 GB/conv) when only ~7k rows are
+    # real (measured: 120k input → 42k/25k/13k/7k per stride-2 stage).
+    # Sized with margin in configs; decoder stages recover each
+    # lateral's capacity automatically (inverse conv targets the
+    # recorded table). None → legacy full-capacity behavior.
+    stage_capacities: Optional[Sequence[int]] = None
 
     @nn.compact
     def __call__(self, st: SparseTensor, train: bool = False):
@@ -126,9 +138,15 @@ class MinkUNetBackbone(nn.Module):
                              name='stem1')(st, train, rulebook=rb)
         n = len(self.encoder_channels)
         laterals = [st]
+        caps = self.stage_capacities
+        if caps is not None and len(caps) != n:
+            raise ValueError(f'stage_capacities needs {n} entries, '
+                             f'got {len(caps)}')
         for i in range(n):
             st = SparseConvLayer(
                 st.features.shape[-1], 2, stride=2, padding=0, subm=False,
+                out_capacity=int(caps[i]) * st.batch_size
+                if caps is not None else None,
                 name=f'down{i}')(st, train)
             rb = build_subm_rulebook(st, 3)
             for j in range(self.encoder_blocks[i]):
