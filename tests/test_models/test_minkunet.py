@@ -229,3 +229,41 @@ def test_cylinder3d_lovasz_in_losses():
     losses = model.apply(variables, batch, mode='loss')
     assert 'loss_lovasz' in losses
     assert np.isfinite(float(losses['loss_lovasz']))
+
+
+def test_minkunet_tile_backend_exact():
+    """backend='tile' (sorted-key index, tile convs + tile inverse
+    convs) reproduces the flat backend's point logits with the same
+    params — the segmentor-scale tile path is a pure relayout."""
+    base = dict(
+        type='MinkUNet',
+        num_classes=5,
+        voxel_size=[0.8, 0.8, 0.4],
+        point_cloud_range=[-12.8, -12.8, -3.2, 12.8, 12.8, 3.2],
+        max_voxels=512,
+        backbone=dict(
+            type='MinkUNetBackbone',
+            in_channels=4,
+            base_channels=8,
+            encoder_channels=[8, 16, 32, 32],
+            encoder_blocks=[1, 1, 1, 1],
+            decoder_channels=[32, 16, 16, 16],
+            decoder_blocks=[1, 1, 1, 1]))
+    import copy
+    tiled = copy.deepcopy(base)
+    tiled['backbone']['backend'] = 'tile'
+    tiled['backbone']['tile_shape'] = (2, 4, 4)
+    # PER-SAMPLE ample tile caps: grid (16,32,32) → ≤512 (2,4,4)-tiles
+    tiled['backbone']['tile_capacities'] = [512, 96, 16, 4, 4]
+    rng = np.random.default_rng(5)
+    B, P = 2, 256
+    pts = rng.uniform([-12, -12, -3, 0], [12, 12, 3, 1],
+                      (B, P, 4)).astype(np.float32)
+    batch = dict(points=jnp.asarray(pts),
+                 points_mask=jnp.ones((B, P), bool))
+    m0 = build_detector_from_cfg(base)
+    m1 = build_detector_from_cfg(tiled)
+    v = m0.init(jax.random.PRNGKey(0), batch, mode='tensor')
+    out0 = np.asarray(m0.apply(v, batch, mode='tensor'))
+    out1 = np.asarray(m1.apply(v, batch, mode='tensor'))
+    np.testing.assert_allclose(out1, out0, rtol=1e-4, atol=1e-4)

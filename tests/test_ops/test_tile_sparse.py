@@ -172,3 +172,73 @@ def test_grad_flows(rng):
 
     g = jax.grad(loss)(w)
     assert np.isfinite(np.asarray(g)).all() and float(jnp.abs(g).sum()) > 0
+
+
+def test_sorted_index_matches_dense(rng):
+    """'sorted' index mode (searchsorted key table — the segmentor-scale
+    path) builds bit-identical tables/neighbors/outputs to 'dense'."""
+    st = make_sparse(rng)
+    td = tiles_from_sparse(st, (2, 4, 4), capacity=80)
+    tsr = tiles_from_sparse(st, (2, 4, 4), capacity=80,
+                            index_mode='sorted')
+    for name in ('features', 'mask', 'tile_coords', 'nb_idx'):
+        np.testing.assert_array_equal(np.asarray(getattr(td, name)),
+                                      np.asarray(getattr(tsr, name)),
+                                      err_msg=name)
+    w = rng.standard_normal((27, 8, 12)).astype(np.float32)
+    np.testing.assert_allclose(
+        np.asarray(subm_conv3d_tile(tsr, jnp.asarray(w)).features),
+        np.asarray(subm_conv3d_tile(td, jnp.asarray(w)).features),
+        rtol=1e-6)
+    w2 = rng.standard_normal((8, 8, 12)).astype(np.float32)
+    sd = sparse_conv3d_tile(td, jnp.asarray(w2), kernel_size=2,
+                            stride=2, padding=0, out_capacity=80)
+    ss = sparse_conv3d_tile(tsr, jnp.asarray(w2), kernel_size=2,
+                            stride=2, padding=0, out_capacity=80)
+    assert ss.index_mode == 'sorted'
+    np.testing.assert_array_equal(np.asarray(sd.tile_coords),
+                                  np.asarray(ss.tile_coords))
+    np.testing.assert_allclose(np.asarray(sd.features),
+                               np.asarray(ss.features), rtol=1e-6)
+    np.testing.assert_array_equal(np.asarray(sd.mask),
+                                  np.asarray(ss.mask))
+
+
+@pytest.mark.parametrize('index_mode', ['dense', 'sorted'])
+def test_inverse_conv_matches_flat(rng, index_mode):
+    """tile_inverse_conv3d (k2-s2 UNet-decoder geometry) == the flat
+    backend's sparse_inverse_conv3d on the same target table."""
+    from tpu_bev3d.ops.sparse_conv import sparse_inverse_conv3d
+    from tpu_bev3d.ops.tile_sparse import (tile_gather_voxels,
+                                           tile_inverse_conv3d)
+    st = make_sparse(rng)
+    tt = tiles_from_sparse(st, (2, 4, 4), capacity=80,
+                           index_mode=index_mode)
+    w2 = rng.standard_normal((8, 8, 12)).astype(np.float32)
+    coarse = sparse_conv3d_tile(tt, jnp.asarray(w2), kernel_size=2,
+                                stride=2, padding=0, out_capacity=80)
+    winv = rng.standard_normal((8, 12, 6)).astype(np.float32)
+    bias = rng.standard_normal((6,)).astype(np.float32)
+    got_t = tile_inverse_conv3d(coarse, tt, jnp.asarray(winv),
+                                bias=jnp.asarray(bias),
+                                kernel_size=2, stride=2)
+    got = np.asarray(tile_gather_voxels(got_t, st.coords))
+    coarse_sp = tiles_to_sparse(coarse, capacity=st.coords.shape[0])
+    ref = sparse_inverse_conv3d(coarse_sp, st.coords, st.valid,
+                                st.spatial_shape, jnp.asarray(winv),
+                                bias=jnp.asarray(bias),
+                                kernel_size=2, stride=2, padding=0)
+    refm = np.where(np.asarray(st.valid)[:, None],
+                    np.asarray(ref.features), 0)
+    np.testing.assert_allclose(got, refm, atol=1e-5)
+
+
+def test_gather_voxels_roundtrip(rng):
+    from tpu_bev3d.ops.tile_sparse import tile_gather_voxels
+    st = make_sparse(rng)
+    tt = tiles_from_sparse(st, (2, 4, 4), capacity=80,
+                           index_mode='sorted')
+    got = np.asarray(tile_gather_voxels(tt, st.coords))
+    ref = np.where(np.asarray(st.valid)[:, None],
+                   np.asarray(st.features), 0)
+    np.testing.assert_allclose(got, ref, rtol=1e-6)

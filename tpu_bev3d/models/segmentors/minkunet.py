@@ -47,12 +47,33 @@ def _parent_lookup(fine: SparseTensor, coarse: SparseTensor, stride=2):
 class SparseBasicBlock(nn.Module):
     """Residual SubM block (ref mmdet3d sparse_block.py SparseBasicBlock:
     conv3-BN-ReLU-conv3-BN + identity (1×1 conv-BN when channels change)
-    → ReLU)."""
+    → ReLU). Works on both the flat SparseTensor and the block-sparse
+    TileTensor table (same params either way)."""
     out_channels: int
 
     @nn.compact
-    def __call__(self, st: SparseTensor, train: bool = False,
-                 rulebook=None) -> SparseTensor:
+    def __call__(self, st, train: bool = False,
+                 rulebook=None):
+        from ...ops.tile_sparse import TileTensor
+        from ..layers.common import MaskedBatchNorm
+        if isinstance(st, TileTensor):
+            cin = st.channels
+            x = SparseConvLayer(self.out_channels, 3, subm=True,
+                                name='conv1')(st, train)
+            x = SparseConvLayer(self.out_channels, 3, subm=True, act=False,
+                                name='conv2')(x, train)
+            T, S = st.features.shape[0], st.S
+            mflat = st.mask.reshape(-1)
+            ident = st.features.reshape(T * S, cin)
+            if cin != self.out_channels:
+                ident = nn.Dense(self.out_channels, use_bias=False,
+                                 name='down')(ident)
+                ident = MaskedBatchNorm(name='down_bn')(ident, mflat,
+                                                        train=train)
+            f = nn.relu(x.features.reshape(T * S, self.out_channels)
+                        + ident)
+            f = jnp.where(mflat[:, None], f, 0.0)
+            return x.replace_features(f.reshape(T, S * self.out_channels))
         cin = st.features.shape[-1]
         x = SparseConvLayer(self.out_channels, 3, subm=True,
                             name='conv1')(st, train, rulebook=rulebook)
@@ -60,7 +81,6 @@ class SparseBasicBlock(nn.Module):
                             name='conv2')(x, train, rulebook=rulebook)
         ident = st.features
         if cin != self.out_channels:
-            from ..layers.common import MaskedBatchNorm
             ident = nn.Dense(self.out_channels, use_bias=False,
                              name='down')(ident)
             ident = MaskedBatchNorm(name='down_bn')(ident, st.valid,
@@ -78,10 +98,29 @@ class SparseInverseConvLayer(nn.Module):
     stride: int = 2
 
     @nn.compact
-    def __call__(self, st: SparseTensor, target: SparseTensor,
-                 train: bool = False) -> SparseTensor:
+    def __call__(self, st, target, train: bool = False):
         from ...ops.sparse_conv import sparse_inverse_conv3d
+        from ...ops.tile_sparse import TileTensor, tile_inverse_conv3d
         from ..layers.common import MaskedBatchNorm
+        if isinstance(st, TileTensor):
+            cin = st.channels
+            k = int(np.prod(np.broadcast_to(
+                np.asarray(self.kernel_size), (3,))))
+            w = self.param('kernel',
+                           nn.initializers.variance_scaling(1.0, 'fan_in',
+                                                            'uniform'),
+                           (k, cin, self.out_channels))
+            out = tile_inverse_conv3d(st, target, w,
+                                      kernel_size=self.kernel_size,
+                                      stride=self.stride)
+            T, S = out.features.shape[0], out.S
+            mflat = out.mask.reshape(-1)
+            f = MaskedBatchNorm()(
+                out.features.reshape(T * S, self.out_channels), mflat,
+                train=train)
+            f = jnp.where(mflat[:, None], nn.relu(f), 0.0)
+            return out.replace_features(
+                f.reshape(T, S * self.out_channels))
         cin = st.features.shape[-1]
         k = int(np.prod(np.broadcast_to(
             np.asarray(self.kernel_size), (3,))))
@@ -124,31 +163,60 @@ class MinkUNetBackbone(nn.Module):
     # lateral's capacity automatically (inverse conv targets the
     # recorded table). None → legacy full-capacity behavior.
     stage_capacities: Optional[Sequence[int]] = None
+    # 'flat' row gather-GEMM | 'tile' block-sparse (ops/tile_sparse.py,
+    # sorted-key index — the dense tile-grid slot map of the detector
+    # path would be 50M+ entries on SemanticKITTI's 12.8G-cell grid).
+    backend: str = 'flat'
+    tile_shape: Tuple[int, int, int] = (2, 4, 4)
+    # PER-SAMPLE active-tile capacities [input, after_down0, ...]
+    # (n_stages+1 entries) — required for backend='tile'.
+    tile_capacities: Optional[Sequence[int]] = None
+    tile_dtype: str = ''         # tile GEMM compute dtype ('bfloat16')
 
     @nn.compact
-    def __call__(self, st: SparseTensor, train: bool = False):
+    def __call__(self, st, train: bool = False):
         from ...ops.sparse_conv import build_subm_rulebook
         assert len(self.decoder_channels) == len(self.encoder_channels), \
             'ref minkunet_backbone.py:76 requires num_stages == ' \
             'len(encoder_channels) == len(decoder_channels)'
-        rb = build_subm_rulebook(st, 3)
+        n = len(self.encoder_channels)
+        is_tile = self.backend == 'tile'
+        if is_tile:
+            from ...ops.tile_sparse import tiles_from_sparse
+            tcaps = self.tile_capacities
+            if tcaps is None or len(tcaps) != n + 1:
+                raise ValueError(
+                    f"backend='tile' needs tile_capacities with {n + 1} "
+                    f'entries [input, after_down0, ...], got {tcaps}')
+            st = tiles_from_sparse(
+                st, self.tile_shape, int(tcaps[0]) * st.batch_size,
+                index_mode='sorted')
+            rb = None
+        else:
+            rb = build_subm_rulebook(st, 3)
         st = SparseConvLayer(self.base_channels, 3, subm=True,
+                             compute_dtype=self.tile_dtype,
                              name='stem0')(st, train, rulebook=rb)
         st = SparseConvLayer(self.base_channels, 3, subm=True,
+                             compute_dtype=self.tile_dtype,
                              name='stem1')(st, train, rulebook=rb)
-        n = len(self.encoder_channels)
         laterals = [st]
         caps = self.stage_capacities
         if caps is not None and len(caps) != n:
             raise ValueError(f'stage_capacities needs {n} entries, '
                              f'got {len(caps)}')
         for i in range(n):
+            if is_tile:
+                ch_in, out_cap = st.channels, int(tcaps[i + 1]) * st.batch_size
+            else:
+                ch_in = st.features.shape[-1]
+                out_cap = (int(caps[i]) * st.batch_size
+                           if caps is not None else None)
             st = SparseConvLayer(
-                st.features.shape[-1], 2, stride=2, padding=0, subm=False,
-                out_capacity=int(caps[i]) * st.batch_size
-                if caps is not None else None,
+                ch_in, 2, stride=2, padding=0, subm=False,
+                out_capacity=out_cap, compute_dtype=self.tile_dtype,
                 name=f'down{i}')(st, train)
-            rb = build_subm_rulebook(st, 3)
+            rb = None if is_tile else build_subm_rulebook(st, 3)
             for j in range(self.encoder_blocks[i]):
                 st = SparseBasicBlock(
                     self.encoder_channels[i],
@@ -160,10 +228,18 @@ class MinkUNetBackbone(nn.Module):
             target = laterals[i]
             st = SparseInverseConvLayer(
                 self.decoder_channels[i], name=f'up{i}')(st, target, train)
-            merged = jnp.concatenate([st.features, target.features], -1)
-            st = SparseTensor(merged, st.coords, st.spatial_shape,
-                              st.batch_size)
-            rb = build_subm_rulebook(st, 3)
+            if is_tile:
+                T, S = st.features.shape[0], st.S
+                merged = jnp.concatenate(
+                    [st.features.reshape(T, S, -1),
+                     target.features.reshape(T, S, -1)], -1)
+                st = st.replace_features(merged.reshape(T, -1))
+                rb = None
+            else:
+                merged = jnp.concatenate([st.features, target.features], -1)
+                st = SparseTensor(merged, st.coords, st.spatial_shape,
+                                  st.batch_size)
+                rb = build_subm_rulebook(st, 3)
             for j in range(self.decoder_blocks[i]):
                 st = SparseBasicBlock(
                     self.decoder_channels[i],
@@ -212,9 +288,17 @@ class MinkUNet(nn.Module):
         return st, p2v_flat
 
     def __call__(self, batch, mode: str = 'tensor', train: bool = False):
+        from ...ops.tile_sparse import TileTensor, tile_gather_voxels
         st, p2v = self._voxelize(batch['points'], batch['points_mask'])
+        coords_in = st.coords                            # original row order
         st = self._backbone(st, train=train)
-        voxel_logits = self._cls(st.features)            # [B*V, K]
+        if isinstance(st, TileTensor):
+            # decoder output lives on the full-res tile table; recover
+            # the original [B·V] row order for the p2v point gather
+            feats = tile_gather_voxels(st, coords_in)
+        else:
+            feats = st.features
+        voxel_logits = self._cls(feats)                  # [B*V, K]
         pad = jnp.zeros((1, self.num_classes), voxel_logits.dtype)
         vl = jnp.concatenate([voxel_logits, pad], 0)
         idx = jnp.where(p2v >= 0, p2v, vl.shape[0] - 1)

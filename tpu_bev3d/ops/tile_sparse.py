@@ -51,7 +51,8 @@ from jax import lax
 
 __all__ = [
     'TileTensor', 'tiles_from_sparse', 'tiles_to_sparse', 'tile_dense',
-    'subm_conv3d_tile', 'sparse_conv3d_tile',
+    'subm_conv3d_tile', 'sparse_conv3d_tile', 'tile_inverse_conv3d',
+    'tile_gather_voxels',
 ]
 
 
@@ -62,15 +63,29 @@ def _b3(v):
 @jax.tree_util.register_dataclass
 @dataclass
 class TileTensor:
-    """Fixed-capacity block-sparse voxel tensor (flat tile rows)."""
+    """Fixed-capacity block-sparse voxel tensor (flat tile rows).
+
+    ``index_mode`` selects the tile-lookup structure held in ``smap``:
+    - 'dense': dense linear-id→slot map ``[B·G+1]`` (G = tile-grid
+      cells). O(1) lookups, but the map itself is grid-sized — fine for
+      detector grids (≤ a few M tiles), prohibitive for segmentor grids
+      (SemanticKITTI 0.05 m: 12.8G cells ≈ 50M+ tile slots ≈ 200 MB of
+      bookkeeping PER conv output).
+    - 'sorted': sorted table of the active tiles' linear ids ``[T]``
+      (BIG-padded). Slot i holds the i-th smallest active linear id, so
+      a lookup is one ``searchsorted`` (log T gathers) — grid-size
+      never materializes. Slot assignment is identical to 'dense'
+      (ascending linear id), so both modes build bit-identical tables.
+    """
     features: jax.Array                     # [T, S*C] cell-major flat
     mask: jax.Array                         # [T, S] bool
     tile_coords: jax.Array                  # [T, 4] (b, tzi, tyi, txi)
     nb_idx: jax.Array                       # [27, T] neighbor slot (T=none)
-    smap: jax.Array                         # [B*G+1] dense lin→slot (T=absent)
+    smap: jax.Array                         # dense map | sorted key table
     spatial_shape: Tuple[int, int, int] = field(metadata=dict(static=True))
     batch_size: int = field(metadata=dict(static=True))
     tile_shape: Tuple[int, int, int] = field(metadata=dict(static=True))
+    index_mode: str = field(default='dense', metadata=dict(static=True))
 
     @property
     def S(self):
@@ -92,7 +107,7 @@ class TileTensor:
     def replace_features(self, f):
         return TileTensor(f, self.mask, self.tile_coords, self.nb_idx,
                           self.smap, self.spatial_shape, self.batch_size,
-                          self.tile_shape)
+                          self.tile_shape, self.index_mode)
 
 
 _DIRS = np.stack(np.meshgrid(*([np.arange(-1, 2)] * 3),
@@ -151,11 +166,50 @@ def _table_from_candidates(cand, ok, grid, batch_size, capacity):
     return lax.optimization_barrier((table, smap))
 
 
-def _neighbor_table(tile_coords, grid, batch_size, smap):
+def _lookup_sorted(key, q, big, absent):
+    """Slot lookup on a sorted-key table: position of ``q`` in ``key``
+    (ascending, BIG-padded) when present, else ``absent``. Queries equal
+    to ``big`` (the invalid sentinel) always miss."""
+    pos = jnp.searchsorted(key, q).astype(jnp.int32)
+    posc = jnp.minimum(pos, key.shape[0] - 1)
+    found = (key[posc] == q) & (q < big)
+    return jnp.where(found, posc, absent)
+
+
+def _table_from_candidates_sorted(cand, ok, grid, batch_size, capacity):
+    """Sorted-index twin of ``_table_from_candidates``: candidate tile
+    coords [M,4] → (table [cap,4], sorted key table [cap]).
+
+    One M-element sort replaces the grid-sized occupancy cumsum: unique
+    candidate linear ids, in ascending order, become slots 0..n-1 —
+    the SAME assignment rule as the dense cumsum, so tables from both
+    modes are bit-identical (tiles beyond ``capacity`` drop, lowest
+    linear ids survive). Nothing here scales with the grid.
+    """
+    n = batch_size * int(np.prod(grid))
+    assert n < 2**31 - 1, \
+        f'tile-grid linear id overflows int32 ({n}); use a larger tile_shape'
+    lin, BIG = _tile_lin(cand, grid, batch_size, ok)   # BIG == n
+    sl = jnp.sort(lin)
+    uniq = (sl < BIG) & jnp.concatenate(
+        [jnp.ones((1,), bool), sl[1:] != sl[:-1]])
+    slot = _grid_cumsum(uniq.astype(jnp.int32)) - 1
+    keep = uniq & (slot < capacity)
+    key = jnp.full((capacity,), BIG, jnp.int32).at[
+        jnp.where(keep, slot, capacity)].set(
+        jnp.where(keep, sl, BIG), mode='drop')
+    dest = _lookup_sorted(key, lin, BIG, jnp.int32(capacity))
+    table = jnp.full((capacity + 1, 4), -1, jnp.int32)
+    table = table.at[dest].set(cand, mode='drop')[:capacity]
+    return lax.optimization_barrier((table, key))
+
+
+def _neighbor_table(tile_coords, grid, batch_size, smap,
+                    index_mode='dense'):
     """[27, T] slot index of each tile's 27 neighbors (T = absent).
 
-    One batched 27·T gather off the dense slot map — no sorts, no
-    per-direction gathers.
+    One batched 27·T gather off the dense slot map ('dense') or one
+    27·T searchsorted off the sorted key table ('sorted').
     """
     T = tile_coords.shape[0]
     valid = tile_coords[:, 0] >= 0
@@ -168,7 +222,10 @@ def _neighbor_table(tile_coords, grid, batch_size, smap):
             + q_sp[..., 0] * (gy * gx) + q_sp[..., 1] * gx + q_sp[..., 2])
     n = batch_size * gz * gy * gx
     qlin = jnp.where(ok, qlin, n)
-    nb = jnp.minimum(smap[qlin], T).astype(jnp.int32)
+    if index_mode == 'sorted':
+        nb = _lookup_sorted(smap, qlin, jnp.int32(n), jnp.int32(T))
+    else:
+        nb = jnp.minimum(smap[qlin], T).astype(jnp.int32)
     return lax.optimization_barrier(nb)
 
 
@@ -181,13 +238,16 @@ def _masked_flat(tt: TileTensor, compute_dtype=None):
     return f
 
 
-def tiles_from_sparse(st, tile_shape=(4, 8, 8), capacity: int = 1024):
+def tiles_from_sparse(st, tile_shape=(4, 8, 8), capacity: int = 1024,
+                      index_mode: str = 'dense'):
     """SparseTensor (ops/sparse_conv.py) → TileTensor.
 
-    Occupancy-grid slot assignment (no argsort) + a row scatter into the
-    [cap·S, C] cell table, reshaped to flat [cap, S·C] rows. Tiles beyond
-    ``capacity`` are dropped (first-come in linear-id order), mirroring
-    the voxelizer's overflow contract.
+    Occupancy-grid slot assignment (no argsort; 'dense' mode) or one
+    N-row sort ('sorted' mode — grid-size-free, for segmentor-scale
+    grids) + a row scatter into the [cap·S, C] cell table, reshaped to
+    flat [cap, S·C] rows. Tiles beyond ``capacity`` are dropped
+    (first-come in linear-id order), mirroring the voxelizer's overflow
+    contract. Both modes produce bit-identical tables.
     """
     tz, ty, tx = _b3(tile_shape)
     nz, ny, nx = st.spatial_shape
@@ -200,13 +260,18 @@ def tiles_from_sparse(st, tile_shape=(4, 8, 8), capacity: int = 1024):
     cell = jnp.where(valid[:, None], coords[:, 1:] % tdiv, 0)
     lin, BIG = _tile_lin(tcoord, grid, st.batch_size, valid)
 
-    tile_coords, smap = _table_from_candidates(
-        tcoord, valid, grid, st.batch_size, capacity)
+    if index_mode == 'sorted':
+        tile_coords, smap = _table_from_candidates_sorted(
+            tcoord, valid, grid, st.batch_size, capacity)
+        slot = _lookup_sorted(smap, lin, BIG, jnp.int32(capacity))
+    else:
+        tile_coords, smap = _table_from_candidates(
+            tcoord, valid, grid, st.batch_size, capacity)
+        slot = smap[lin]                      # capacity where dropped
 
     # voxel → (slot, cell) scatter
     C = st.features.shape[1]
     S = tz * ty * tx
-    slot = smap[lin]                          # capacity where dropped
     cell_lin = cell[:, 0] * (ty * tx) + cell[:, 1] * tx + cell[:, 2]
     flat_idx = jnp.where(valid & (slot < capacity),
                          slot * S + cell_lin, capacity * S)
@@ -219,9 +284,10 @@ def tiles_from_sparse(st, tile_shape=(4, 8, 8), capacity: int = 1024):
         mask[:-1].reshape(capacity, S),
         tile_coords,
         _neighbor_table(tile_coords, grid, st.batch_size,
-                        jnp.minimum(smap, capacity)),
+                        smap if index_mode == 'sorted'
+                        else jnp.minimum(smap, capacity), index_mode),
         smap,
-        (nz, ny, nx), st.batch_size, (tz, ty, tx))
+        (nz, ny, nx), st.batch_size, (tz, ty, tx), index_mode)
 
 
 def tiles_to_sparse(tt: TileTensor, capacity: Optional[int] = None):
@@ -503,8 +569,9 @@ def sparse_conv3d_tile(tt: TileTensor, weight, bias=None, kernel_size=3,
     cand = jnp.concatenate(
         [jnp.broadcast_to(tc[None, :, :1], (Dn, T, 1)), q],
         -1).reshape(Dn * T, 4)
-    out_coords, out_smap = _table_from_candidates(
-        cand, okc.reshape(-1), out_grid, B, cap)
+    build = (_table_from_candidates_sorted if tt.index_mode == 'sorted'
+             else _table_from_candidates)
+    out_coords, out_smap = build(cand, okc.reshape(-1), out_grid, B, cap)
 
     # ---- gather contributor tiles & assemble receptive-field block ----
     grid_in = tt.tiles_grid
@@ -524,7 +591,11 @@ def sparse_conv3d_tile(tt: TileTensor, weight, bias=None, kernel_size=3,
             + ctrc[..., 1] * gix + ctrc[..., 2])
     n_in = B * giz * giy * gix
     clin = jnp.where(okj, clin, n_in)
-    slots = jnp.minimum(tt.smap[clin], T)               # [J3, cap]; T=zero
+    if tt.index_mode == 'sorted':
+        slots = _lookup_sorted(tt.smap, clin, jnp.int32(n_in),
+                               jnp.int32(T))             # [J3, cap]; T=zero
+    else:
+        slots = jnp.minimum(tt.smap[clin], T)           # [J3, cap]; T=zero
 
     f = _masked_flat(tt, compute_dtype)
     xp = jnp.concatenate([f, jnp.zeros((1, S * C), f.dtype)], 0)
@@ -640,5 +711,103 @@ def sparse_conv3d_tile(tt: TileTensor, weight, bias=None, kernel_size=3,
     out = jnp.where(jnp.repeat(rmask_f, Cout, axis=1), out, 0)
     return TileTensor(
         out, rmask_f, out_coords,
-        _neighbor_table(out_coords, out_grid, B, out_smap),
-        out_smap, out_shape, B, ot)
+        _neighbor_table(out_coords, out_grid, B, out_smap, tt.index_mode),
+        out_smap, out_shape, B, ot, tt.index_mode)
+
+
+def tile_gather_voxels(tt: TileTensor, coords):
+    """Per-voxel feature rows from a TileTensor: for each query coord
+    [N, 4] (b, z, y, x; b < 0 = invalid) return its feature row [N, C]
+    (zeros when the cell is absent/masked). The segmentors' point-head
+    path: decoder output lives on the full-res tile table; the original
+    voxel rows are recovered by one tile lookup + one cell gather.
+    """
+    tz, ty, tx = tt.tile_shape
+    T, S, C = tt.features.shape[0], tt.S, tt.channels
+    grid = tt.tiles_grid
+    valid = coords[:, 0] >= 0
+    tdiv = jnp.asarray([tz, ty, tx], jnp.int32)
+    tcoord = jnp.concatenate(
+        [coords[:, :1], coords[:, 1:] // tdiv], -1)
+    cell = jnp.where(valid[:, None], coords[:, 1:] % tdiv, 0)
+    lin, BIG = _tile_lin(tcoord, grid, tt.batch_size, valid)
+    if tt.index_mode == 'sorted':
+        slot = _lookup_sorted(tt.smap, lin, BIG, jnp.int32(T))
+    else:
+        slot = jnp.minimum(tt.smap[lin], T)
+    cell_lin = cell[:, 0] * (ty * tx) + cell[:, 1] * tx + cell[:, 2]
+    f = _masked_flat(tt).reshape(T, S, C)
+    fp = jnp.concatenate([f, jnp.zeros((1, S, C), f.dtype)], 0)
+    rows = fp[slot, cell_lin]                            # [N, C]
+    return jnp.where(valid[:, None], rows, 0)
+
+
+def tile_inverse_conv3d(tt: TileTensor, target: TileTensor, weight,
+                        bias=None, kernel_size=2, stride=2,
+                        compute_dtype=None):
+    """Inverse (transposed) sparse conv onto a KNOWN target tile table
+    (ref spconv SparseInverseConv3d; flat twin:
+    ops/sparse_conv.py:305 sparse_inverse_conv3d). Restricted to the
+    UNet-decoder geometry k == stride, padding 0 (MinkUNet's k2-s2
+    upsamples, ref mmdet3d minkunet_backbone.py decoder): the strided
+    windows then PARTITION the fine grid, so every fine cell c has
+    exactly one contributor coarse cell c//s with kernel offset c%s.
+
+    Tile formulation (tile dims divisible by s, same tile shape both
+    sides): fine tile q reads exactly ONE coarse tile q//s; the parent
+    sub-block is a per-axis half-select by the tile parity q%s (static
+    slices + one where — no gather), and the kernel offset of a fine
+    cell is cell%s — STATIC, so the 8 offset GEMMs batch into one
+    einsum and interleave. weight [K, Cin, Cout] in the z-major offset
+    order of ops/sparse_conv.py._offsets (backends weight-compatible).
+    """
+    ks = _b3(kernel_size)
+    strd = _b3(stride)
+    assert ks == strd and all(s in (1, 2) for s in strd), \
+        f'tile inverse conv needs k == stride in {{1,2}}, got {ks}/{strd}'
+    t3 = tt.tile_shape
+    assert target.tile_shape == t3, 'in/out tile shapes must match'
+    assert all(t3[i] % strd[i] == 0 for i in range(3))
+    tz, ty, tx = t3
+    T, S, C = tt.features.shape[0], tt.S, tt.channels
+    Cout = weight.shape[2]
+    grid_in = tt.tiles_grid
+    sj = jnp.asarray(strd, jnp.int32)
+
+    # parent tile lookup (one per fine tile)
+    tc = target.tile_coords
+    ok = target.valid
+    pq = jnp.concatenate([tc[:, :1], tc[:, 1:] // sj], -1)
+    par = jnp.where(ok[:, None], tc[:, 1:] % sj, 0)      # [To, 3] parity
+    lin, BIG = _tile_lin(pq, grid_in, tt.batch_size, ok)
+    if tt.index_mode == 'sorted':
+        slot = _lookup_sorted(tt.smap, lin, BIG, jnp.int32(T))
+    else:
+        slot = jnp.minimum(tt.smap[lin], T)
+
+    f = _masked_flat(tt, compute_dtype)
+    xp = jnp.concatenate([f, jnp.zeros((1, S * C), f.dtype)], 0)
+    To = tc.shape[0]
+    block = jnp.take(xp, slot, axis=0).reshape(To, tz, ty, tx, C)
+
+    # per-axis parity half-select → parent sub-block [To, hz, hy, hx, C]
+    for ax in range(3):
+        if strd[ax] == 1:
+            continue
+        h = t3[ax] // 2
+        lo = lax.slice_in_dim(block, 0, h, axis=1 + ax)
+        hi = lax.slice_in_dim(block, h, 2 * h, axis=1 + ax)
+        p = par[:, ax].reshape((To,) + (1,) * 4)
+        block = jnp.where(p > 0, hi, lo)
+    hz, hy, hx = block.shape[1:4]
+
+    # all k offsets in one einsum; out[s·i+a, s·j+b, s·k+c] = sub@W[abc]
+    wk = weight.reshape(ks + (C, Cout)).astype(block.dtype)
+    y = jnp.einsum('tzyxc,abkcd->tzaybxkd', block, wk)
+    out = y.reshape(To, hz * ks[0], hy * ks[1], hx * ks[2], Cout)
+    out = out.astype(tt.features.dtype).reshape(To, -1)
+    if bias is not None:
+        out = out + jnp.tile(bias.astype(out.dtype),
+                             int(np.prod(t3)))
+    out = jnp.where(jnp.repeat(target.mask, Cout, axis=1), out, 0)
+    return target.replace_features(out)
