@@ -267,3 +267,39 @@ def test_minkunet_tile_backend_exact():
     out0 = np.asarray(m0.apply(v, batch, mode='tensor'))
     out1 = np.asarray(m1.apply(v, batch, mode='tensor'))
     np.testing.assert_allclose(out1, out0, rtol=1e-4, atol=1e-4)
+
+
+def test_cylinder3d_tile_backend_exact():
+    """Cylinder3D on backend='tile' (cylindrical grid) == flat backend
+    point logits with shared params."""
+    base = dict(
+        type='Cylinder3D',
+        num_classes=5,
+        grid_shape=[32, 24, 8],
+        pc_range_cyl=[0.0, -3.14159265, -4.0, 50.0, 3.14159265, 2.0],
+        max_voxels=512,
+        backbone=dict(
+            type='MinkUNetBackbone',
+            in_channels=4,
+            base_channels=8,
+            encoder_channels=[8, 16, 16],
+            encoder_blocks=[1, 1, 1],
+            decoder_channels=[16, 8, 8],
+            decoder_blocks=[1, 1, 1]))
+    import copy
+    tiled = copy.deepcopy(base)
+    tiled['backbone']['backend'] = 'tile'
+    tiled['backbone']['tile_shape'] = (2, 4, 4)
+    tiled['backbone']['tile_capacities'] = [192, 64, 24, 8]
+    rng = np.random.default_rng(7)
+    B, P = 1, 256
+    pts = rng.uniform([-30, -30, -3, 0], [30, 30, 1, 1],
+                      (B, P, 4)).astype(np.float32)
+    batch = dict(points=jnp.asarray(pts),
+                 points_mask=jnp.ones((B, P), bool))
+    m0 = build_detector_from_cfg(base)
+    m1 = build_detector_from_cfg(tiled)
+    v = m0.init(jax.random.PRNGKey(0), batch, mode='tensor')
+    out0 = np.asarray(m0.apply(v, batch, mode='tensor'))
+    out1 = np.asarray(m1.apply(v, batch, mode='tensor'))
+    np.testing.assert_allclose(out1, out0, rtol=1e-4, atol=1e-4)

@@ -81,8 +81,14 @@ class Cylinder3D(nn.Module):
         st = SparseTensor(vf.reshape(B * V, vf.shape[-1]),
                           coords4.reshape(B * V, 4),
                           (n_z, n_phi, n_rho), B)
+        coords_in = st.coords                            # original row order
         st = self._backbone(st, train=train)
-        voxel_logits = self._cls(st.features)
+        from ...ops.tile_sparse import TileTensor, tile_gather_voxels
+        if isinstance(st, TileTensor):
+            feats = tile_gather_voxels(st, coords_in)
+        else:
+            feats = st.features
+        voxel_logits = self._cls(feats)
         pad = jnp.zeros((1, self.num_classes), voxel_logits.dtype)
         vl = jnp.concatenate([voxel_logits, pad], 0)
         offs = (jnp.arange(B, dtype=jnp.int32) * V)[:, None]
