@@ -242,3 +242,38 @@ def test_gather_voxels_roundtrip(rng):
     ref = np.where(np.asarray(st.valid)[:, None],
                    np.asarray(st.features), 0)
     np.testing.assert_allclose(got, ref, rtol=1e-6)
+
+
+def test_inverse_conv_grad_matches_flat(rng):
+    """AD through tile_inverse_conv3d == AD through the flat inverse
+    conv (same loss, same cotangents on the coarse features)."""
+    import jax
+    from tpu_bev3d.ops.sparse_conv import sparse_inverse_conv3d
+    from tpu_bev3d.ops.tile_sparse import (tile_gather_voxels,
+                                           tile_inverse_conv3d)
+    st = make_sparse(rng)
+    tt = tiles_from_sparse(st, (2, 4, 4), capacity=80,
+                           index_mode='sorted')
+    w2 = jnp.asarray(rng.standard_normal((8, 8, 12)).astype(np.float32))
+    winv = jnp.asarray(rng.standard_normal((8, 12, 6)).astype(np.float32))
+
+    def loss_tile(w):
+        coarse = sparse_conv3d_tile(tt, w2, kernel_size=2, stride=2,
+                                    padding=0, out_capacity=80)
+        out = tile_inverse_conv3d(coarse, tt, w, kernel_size=2, stride=2)
+        rows = tile_gather_voxels(out, st.coords)
+        return jnp.sum(rows ** 2)
+
+    def loss_flat(w):
+        coarse = sparse_conv3d_tile(tt, w2, kernel_size=2, stride=2,
+                                    padding=0, out_capacity=80)
+        coarse_sp = tiles_to_sparse(coarse, capacity=st.coords.shape[0])
+        ref = sparse_inverse_conv3d(coarse_sp, st.coords, st.valid,
+                                    st.spatial_shape, w,
+                                    kernel_size=2, stride=2, padding=0)
+        return jnp.sum(ref.features ** 2)
+
+    gt = jax.grad(loss_tile)(winv)
+    gf = jax.grad(loss_flat)(winv)
+    np.testing.assert_allclose(np.asarray(gt), np.asarray(gf),
+                               rtol=1e-3, atol=1e-3)
