@@ -12,5 +12,6 @@ model = dict(
         backend='tile',
         tile_shape=(2, 4, 4),
         tile_capacities=[6000, 2200, 700, 256, 64],
+        stage_capacities=None,   # flat-backend schedule doesn't apply
     ),
 )

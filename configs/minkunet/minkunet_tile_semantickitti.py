@@ -11,9 +11,14 @@
 #
 # Tile capacities measured on the bench generator (120k-pt simulated scan
 # -> 59.6k voxels; tiles per k2-s2 stage: 25148/13776/7032/3332/1384 with
-# (2,4,4) tiles), sized with ~15% margin. NOTE: (2,4,4) tiles on this grid
-# give 400M tile-grid cells per sample — the sorted index's int32 linear
-# ids cap batch_size at 5; use (4,8,8) tiles for larger training batches.
+# (2,4,4) tiles), sized with ~15% margin. Batch size is unconstrained:
+# when the sorted index's int32 tile-grid ids would overflow
+# (batch_size > 5 on this grid with (2,4,4) tiles), the backbone grows
+# the tile shape automatically (ops/tile_sparse.py auto_tile_shape — a
+# pure relayout; the capacities stay sufficient).
+# Capacity overruns are visible with TPU_BEV3D_TILE_DEBUG=1 (host-prints
+# any tile-table drop) — augmentations that merge two scans (LaserMix/
+# PolarMix) can exceed a single-scan sizing; see tile_capacities_train.
 _base_ = ['./minkunet_semantickitti.py']
 
 model = dict(
@@ -21,5 +26,6 @@ model = dict(
         backend='tile',
         tile_shape=(2, 4, 4),
         tile_capacities=[28800, 16000, 8600, 4200, 2000],
+        stage_capacities=None,   # flat-backend schedule doesn't apply
     ),
 )

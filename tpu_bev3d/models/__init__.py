@@ -15,3 +15,4 @@ from . import view_transforms # noqa: F401
 from . import detectors       # noqa: F401
 from . import segmentors      # noqa: F401
 from . import roi_heads       # noqa: F401
+from . import test_time_augs  # noqa: F401

@@ -24,6 +24,7 @@ class _PointNet2Single(nn.Module):
     sa_module: str = 'standard'   # 'standard' | 'paconv' (ref
     # backbones/pointnet2_sa_ssg.py sa_cfg type=PAConvSAModule)
     paconv_kernels: int = 8
+    fps_chunks: int = 1
 
     @nn.compact
     def __call__(self, pts, mask, train: bool = False):
@@ -35,12 +36,13 @@ class _PointNet2Single(nn.Module):
                 sa = PAConvSAModule(
                     self.num_points[i], self.radius[i],
                     self.num_samples[i], tuple(self.sa_channels[i]),
-                    num_kernels=self.paconv_kernels, name=f'sa{i}')
+                    num_kernels=self.paconv_kernels,
+                    fps_chunks=self.fps_chunks, name=f'sa{i}')
             else:
                 sa = PointSAModule(
                     self.num_points[i], self.radius[i],
                     self.num_samples[i], tuple(self.sa_channels[i]),
-                    name=f'sa{i}')
+                    fps_chunks=self.fps_chunks, name=f'sa{i}')
             nx, nf, nm, _ = sa(sa_xyz[-1], sa_feats[-1], sa_masks[-1],
                                train)
             sa_xyz.append(nx)
@@ -69,6 +71,7 @@ class PointNet2SASSG(nn.Module):
     fp_channels: Sequence[Sequence[int]] = ((256, 256), (256, 256))
     sa_module: str = 'standard'   # 'paconv' → PAConv SA layers
     paconv_kernels: int = 8
+    fps_chunks: int = 1   # >1 → bucketed subsample-union FPS (TPU fast)
 
     @nn.compact
     def __call__(self, points, points_mask, train: bool = False):
@@ -84,5 +87,5 @@ class PointNet2SASSG(nn.Module):
                   tuple(self.num_samples),
                   tuple(tuple(c) for c in self.sa_channels),
                   tuple(tuple(c) for c in self.fp_channels),
-                  self.sa_module, self.paconv_kernels,
+                  self.sa_module, self.paconv_kernels, self.fps_chunks,
                   name='net')(points, points_mask, train)

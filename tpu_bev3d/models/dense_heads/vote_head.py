@@ -41,6 +41,7 @@ class VoteHead(nn.Module):
     nms_iou_thr: float = 0.25
     score_thr: float = 0.05
     max_num: int = 64
+    fps_chunks: int = 1   # >1 → bucketed FPS in the aggregation SA
 
     def _mean_sizes(self):
         if self.mean_sizes is not None:
@@ -63,11 +64,6 @@ class VoteHead(nn.Module):
         vote_feat = seed_feat + out[..., 3:]
 
         # --- aggregation: SA module over votes, FPS num_proposals centers
-        def agg_one(vx, vf, vm):
-            return PointSAModule(
-                self.num_proposals, self.agg_radius, self.agg_num_sample,
-                tuple(self.agg_channels), name='agg')(vx, vf, vm, train)
-
         vm_agg = nn.vmap(
             lambda m, vx, vf, vmask: m(vx, vf, vmask),
             variable_axes={'params': None}, split_rngs={'params': False},
@@ -75,7 +71,7 @@ class VoteHead(nn.Module):
         # build the SA module once, vmap its apply over the batch
         agg = PointSAModule(self.num_proposals, self.agg_radius,
                             self.agg_num_sample, tuple(self.agg_channels),
-                            name='agg')
+                            fps_chunks=self.fps_chunks, name='agg')
         ctr_xyz, ctr_feat, ctr_mask, _ = vm_agg(agg, vote_xyz, vote_feat,
                                                 seed_mask)
 

@@ -16,9 +16,8 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from ...ops.pointnet_ops import (ball_query, furthest_point_sample,
-                                 grouping_operation, three_interpolate,
-                                 three_nn)
+from ...ops.pointnet_ops import (ball_query, fps, grouping_operation,
+                                 three_interpolate, three_nn)
 
 
 class SharedMLP(nn.Module):
@@ -48,6 +47,7 @@ class PointSAModule(nn.Module):
     num_sample: int
     mlp_channels: Sequence[int]
     use_xyz: bool = True
+    fps_chunks: int = 1   # >1 → bucketed subsample-union FPS (TPU fast)
 
     @nn.compact
     def __call__(self, xyz, feats, mask, train: bool = False,
@@ -60,7 +60,7 @@ class PointSAModule(nn.Module):
             new_mask = jnp.ones(new_xyz.shape[0], bool)
         else:
             idx = indices if indices is not None else \
-                furthest_point_sample(xyz, mask, self.num_point)
+                fps(xyz, mask, self.num_point, self.fps_chunks)
             new_xyz = xyz[idx]
             new_mask = mask[idx]
         nidx, nvalid = ball_query(new_xyz, xyz, mask, self.radius,
@@ -89,12 +89,13 @@ class PointSAModuleMSG(nn.Module):
     num_samples: Sequence[int]
     mlp_channels: Sequence[Sequence[int]]
     use_xyz: bool = True
+    fps_chunks: int = 1
 
     @nn.compact
     def __call__(self, xyz, feats, mask, train: bool = False,
                  indices=None):
         idx = indices if indices is not None else \
-            furthest_point_sample(xyz, mask, self.num_point)
+            fps(xyz, mask, self.num_point, self.fps_chunks)
         new_xyz = xyz[idx]
         new_mask = mask[idx]
         outs = []
@@ -184,10 +185,11 @@ class PAConvSAModule(nn.Module):
     num_sample: int
     mlp_channels: Sequence[int]
     num_kernels: int = 8
+    fps_chunks: int = 1
 
     @nn.compact
     def __call__(self, xyz, feats, mask, train: bool = False):
-        idx = furthest_point_sample(xyz, mask, self.num_point)
+        idx = fps(xyz, mask, self.num_point, self.fps_chunks)
         new_xyz = xyz[idx]
         new_mask = mask[idx]
         nidx, nvalid = ball_query(new_xyz, xyz, mask, self.radius,

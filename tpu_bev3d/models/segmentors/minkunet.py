@@ -50,6 +50,7 @@ class SparseBasicBlock(nn.Module):
     → ReLU). Works on both the flat SparseTensor and the block-sparse
     TileTensor table (same params either way)."""
     out_channels: int
+    compute_dtype: str = ''      # tile GEMM dtype (e.g. 'bfloat16')
 
     @nn.compact
     def __call__(self, st, train: bool = False,
@@ -59,8 +60,10 @@ class SparseBasicBlock(nn.Module):
         if isinstance(st, TileTensor):
             cin = st.channels
             x = SparseConvLayer(self.out_channels, 3, subm=True,
+                                compute_dtype=self.compute_dtype,
                                 name='conv1')(st, train)
             x = SparseConvLayer(self.out_channels, 3, subm=True, act=False,
+                                compute_dtype=self.compute_dtype,
                                 name='conv2')(x, train)
             T, S = st.features.shape[0], st.S
             mflat = st.mask.reshape(-1)
@@ -96,6 +99,7 @@ class SparseInverseConvLayer(nn.Module):
     out_channels: int
     kernel_size: int = 2
     stride: int = 2
+    compute_dtype: str = ''      # tile GEMM dtype (e.g. 'bfloat16')
 
     @nn.compact
     def __call__(self, st, target, train: bool = False):
@@ -110,9 +114,12 @@ class SparseInverseConvLayer(nn.Module):
                            nn.initializers.variance_scaling(1.0, 'fan_in',
                                                             'uniform'),
                            (k, cin, self.out_channels))
+            cdt = (jnp.dtype(self.compute_dtype)
+                   if self.compute_dtype else None)
             out = tile_inverse_conv3d(st, target, w,
                                       kernel_size=self.kernel_size,
-                                      stride=self.stride)
+                                      stride=self.stride,
+                                      compute_dtype=cdt)
             T, S = out.features.shape[0], out.S
             mflat = out.mask.reshape(-1)
             f = MaskedBatchNorm()(
@@ -183,13 +190,25 @@ class MinkUNetBackbone(nn.Module):
         is_tile = self.backend == 'tile'
         if is_tile:
             from ...ops.tile_sparse import tiles_from_sparse
+            if self.stage_capacities is not None:
+                raise ValueError(
+                    "backend='tile' uses tile_capacities, not "
+                    'stage_capacities — the configured flat-backend row '
+                    'schedule would be silently ignored; drop it or set '
+                    'tile_capacities instead')
             tcaps = self.tile_capacities
             if tcaps is None or len(tcaps) != n + 1:
                 raise ValueError(
                     f"backend='tile' needs tile_capacities with {n + 1} "
                     f'entries [input, after_down0, ...], got {tcaps}')
+            from ...ops.tile_sparse import auto_tile_shape
+            # grow tiles if the sorted index's int32 linear ids would
+            # overflow at this grid×batch (pure relayout; the configured
+            # capacities stay sufficient — bigger tiles, fewer of them)
+            tshape = auto_tile_shape(self.tile_shape, st.spatial_shape,
+                                     st.batch_size)
             st = tiles_from_sparse(
-                st, self.tile_shape, int(tcaps[0]) * st.batch_size,
+                st, tshape, int(tcaps[0]) * st.batch_size,
                 index_mode='sorted')
             rb = None
         else:
@@ -220,6 +239,7 @@ class MinkUNetBackbone(nn.Module):
             for j in range(self.encoder_blocks[i]):
                 st = SparseBasicBlock(
                     self.encoder_channels[i],
+                    compute_dtype=self.tile_dtype,
                     name=f'enc{i}_{j}')(st, train, rulebook=rb)
             if i < n - 1:
                 laterals.append(st)
@@ -227,7 +247,8 @@ class MinkUNetBackbone(nn.Module):
         for i in range(n):
             target = laterals[i]
             st = SparseInverseConvLayer(
-                self.decoder_channels[i], name=f'up{i}')(st, target, train)
+                self.decoder_channels[i], compute_dtype=self.tile_dtype,
+                name=f'up{i}')(st, target, train)
             if is_tile:
                 T, S = st.features.shape[0], st.S
                 merged = jnp.concatenate(
@@ -243,6 +264,7 @@ class MinkUNetBackbone(nn.Module):
             for j in range(self.decoder_blocks[i]):
                 st = SparseBasicBlock(
                     self.decoder_channels[i],
+                    compute_dtype=self.tile_dtype,
                     name=f'dec{i}_{j}')(st, train, rulebook=rb)
         return st
 
