@@ -277,3 +277,23 @@ def test_inverse_conv_grad_matches_flat(rng):
     gf = jax.grad(loss_flat)(winv)
     np.testing.assert_allclose(np.asarray(gt), np.asarray(gf),
                                rtol=1e-3, atol=1e-3)
+
+
+def test_sorted_index_capacity_overflow_matches_dense(rng):
+    """Capacity BELOW the active-tile count: the sorted builder's drop
+    rule (lowest linear ids survive) must match the dense cumsum
+    bit-for-bit (advisor r4: the overflow path was untested)."""
+    st = make_sparse(rng, n_active=120, capacity=160)
+    for cap in (8, 17, 40):
+        td = tiles_from_sparse(st, (2, 4, 4), capacity=cap,
+                               index_mode='dense')
+        ts = tiles_from_sparse(st, (2, 4, 4), capacity=cap,
+                               index_mode='sorted')
+        np.testing.assert_array_equal(np.asarray(td.tile_coords),
+                                      np.asarray(ts.tile_coords))
+        np.testing.assert_array_equal(np.asarray(td.mask),
+                                      np.asarray(ts.mask))
+        np.testing.assert_array_equal(np.asarray(td.features),
+                                      np.asarray(ts.features))
+        np.testing.assert_array_equal(np.asarray(td.nb_idx),
+                                      np.asarray(ts.nb_idx))

@@ -62,6 +62,14 @@ def main():
                         'the default); "uniform" = uniform random (the '
                         'legacy protocol; pathological for sparsity-'
                         'exploiting backends)')
+    p.add_argument('--scan-chunk', type=int, default=0,
+                   help='split the scan protocol into ceil(iters/N) '
+                        'jitted N-step scan calls, chained on device with '
+                        'ONE final readback — same throughput protocol, '
+                        'but avoids the deep-scan graphs that fault the '
+                        'remote worker (docs/benchmarks.md known issue: '
+                        'flat-sparse 30-step and segmentor 20-step scans).'
+                        ' 0 = one full-length scan')
     p.add_argument('--protocol', default='scan', choices=['scan', 'calls'],
                    help='"scan" = one jitted lax.scan over all frames + one '
                         'readback (pure device throughput, the default); '
@@ -157,20 +165,34 @@ def main():
 
         run = run_all
 
+    chunk = args.scan_chunk or args.iters
+    n_used = (args.iters // chunk) * chunk
+    if n_used != args.iters:
+        print(f'[scan-chunk] using {n_used} of {args.iters} frames '
+              f'({args.iters // chunk} chunks of {chunk})')
+    chunks = [jax.tree_util.tree_map(lambda x: x[i:i + chunk], stacked)
+              for i in range(0, n_used, chunk)]
+
+    def run_chunks(v, cs):
+        # each chunk is one jitted scan; the device runs them
+        # back-to-back (enqueue-only loop), ONE float() at the end
+        return sum(run(v, c) for c in cs)
+
     # warmup/compile on a perturbed copy (the tunnel memoizes repeated
     # identical calls)
-    warm = jax.tree_util.tree_map(
+    warm = [jax.tree_util.tree_map(
         lambda x: x + jnp.asarray(0.001, x.dtype)
-        if jnp.issubdtype(x.dtype, jnp.floating) else x, stacked)
-    _ = float(run(variables, warm))
+        if jnp.issubdtype(x.dtype, jnp.floating) else x, chunks[0])]
+    _ = float(run_chunks(variables, warm))
     t0 = time.perf_counter()
-    _ = float(run(variables, stacked))
+    _ = float(run_chunks(variables, chunks))
     dt = time.perf_counter() - t0
-    fps = args.iters * args.batch_size / dt
+    fps = n_used * args.batch_size / dt
     proto = 'streaming (memory-propagated) scan' if streaming \
         else 'frames scan-chained'
-    print(f'{fps:.2f} frames/s ({dt / args.iters * 1000:.2f} ms/iter, '
-          f'{args.iters} {proto}, one readback)')
+    ck = f' in {len(chunks)}x{chunk}-step chunks' if args.scan_chunk else ''
+    print(f'{fps:.2f} frames/s ({dt / n_used * 1000:.2f} ms/iter, '
+          f'{n_used} {proto}{ck}, one readback)')
 
 
 if __name__ == '__main__':

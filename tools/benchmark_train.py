@@ -55,10 +55,16 @@ def main():
         # anno and a code-weight broadcast error in loss_by_feat
         wv = bool(cfg.model.get('bbox_head', {}).get('with_velocity',
                                                      False))
+        # indoor models (VoteNet etc.) carry no point_cloud_range —
+        # synthesize a room-scale cloud instead of an outdoor scan
+        pcr = cfg.model.get('point_cloud_range')
+        pcr = tuple(pcr) if pcr is not None else (-4.0, -4.0, -2.0,
+                                                  4.0, 4.0, 2.0)
+        ncls = len(cfg.get('class_names', [])) or 3
         return create_detector_inputs(
             rng=np.random.default_rng(seed), batch_size=bsz,
             num_points=args.num_points, point_dim=pdim,
-            pc_range=tuple(cfg.model.point_cloud_range),
+            pc_range=pcr, num_classes=ncls,
             with_velocity=wv)
 
     host_batches = [mk_host(i) for i in range(4)]

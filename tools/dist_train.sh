@@ -27,6 +27,11 @@ REPO_ROOT=$(cd "$(dirname "$0")/.." && pwd)
 ENTRY=${DIST_ENTRY:-$REPO_ROOT/tools/train.py}
 if [ "${NPROCS:-1}" -gt 1 ]; then
   PORT=${PORT:-12355}
+  # generous coordination margins: compile-heavy rendezvous on a loaded
+  # host can starve the 100 s default heartbeat (engine init_distributed
+  # forwards these)
+  export JAX_HEARTBEAT_TIMEOUT_SECONDS=${JAX_HEARTBEAT_TIMEOUT_SECONDS:-900}
+  export JAX_INIT_TIMEOUT_SECONDS=${JAX_INIT_TIMEOUT_SECONDS:-900}
   pids=()
   for i in $(seq 0 $((NPROCS - 1))); do
     JAX_COORDINATOR_ADDRESS=127.0.0.1:$PORT \

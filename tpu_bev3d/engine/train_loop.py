@@ -170,6 +170,17 @@ def init_distributed(coordinator_address=None, num_processes=None,
         kwargs['num_processes'] = int(num_processes)
     if process_id is not None:
         kwargs['process_id'] = int(process_id)
+    # coordination-robustness margins: the defaults (100 s heartbeat,
+    # 300 s init) assume an idle host; a compile-heavy rendezvous on a
+    # loaded/oversubscribed host can starve the heartbeat thread past
+    # 100 s and kill the job with PollForError. The launchers export
+    # generous values (tools/dist_train.sh); override per-run via env.
+    if os.environ.get('JAX_HEARTBEAT_TIMEOUT_SECONDS'):
+        kwargs['heartbeat_timeout_seconds'] = int(
+            os.environ['JAX_HEARTBEAT_TIMEOUT_SECONDS'])
+    if os.environ.get('JAX_INIT_TIMEOUT_SECONDS'):
+        kwargs['initialization_timeout'] = int(
+            os.environ['JAX_INIT_TIMEOUT_SECONDS'])
     try:
         jax.distributed.initialize(**kwargs)
     except (ValueError, RuntimeError) as e:

@@ -25,6 +25,7 @@ class _PointNet2Single(nn.Module):
     # backbones/pointnet2_sa_ssg.py sa_cfg type=PAConvSAModule)
     paconv_kernels: int = 8
     fps_chunks: int = 1
+    ballq: str = ''
 
     @nn.compact
     def __call__(self, pts, mask, train: bool = False):
@@ -37,12 +38,14 @@ class _PointNet2Single(nn.Module):
                     self.num_points[i], self.radius[i],
                     self.num_samples[i], tuple(self.sa_channels[i]),
                     num_kernels=self.paconv_kernels,
-                    fps_chunks=self.fps_chunks, name=f'sa{i}')
+                    fps_chunks=self.fps_chunks, ballq=self.ballq,
+                    name=f'sa{i}')
             else:
                 sa = PointSAModule(
                     self.num_points[i], self.radius[i],
                     self.num_samples[i], tuple(self.sa_channels[i]),
-                    fps_chunks=self.fps_chunks, name=f'sa{i}')
+                    fps_chunks=self.fps_chunks, ballq=self.ballq,
+                    name=f'sa{i}')
             nx, nf, nm, _ = sa(sa_xyz[-1], sa_feats[-1], sa_masks[-1],
                                train)
             sa_xyz.append(nx)
@@ -72,6 +75,7 @@ class PointNet2SASSG(nn.Module):
     sa_module: str = 'standard'   # 'paconv' → PAConv SA layers
     paconv_kernels: int = 8
     fps_chunks: int = 1   # >1 → bucketed subsample-union FPS (TPU fast)
+    ballq: str = ''       # neighbor selection: ''|'exact'|'approx'
 
     @nn.compact
     def __call__(self, points, points_mask, train: bool = False):
@@ -88,4 +92,5 @@ class PointNet2SASSG(nn.Module):
                   tuple(tuple(c) for c in self.sa_channels),
                   tuple(tuple(c) for c in self.fp_channels),
                   self.sa_module, self.paconv_kernels, self.fps_chunks,
+                  self.ballq,
                   name='net')(points, points_mask, train)

@@ -72,8 +72,15 @@ class VoVNetCP(nn.Module):
         outs = []
         for si in range(len(self.stage_ch)):
             if si > 0:
+                # ref vovnetcp.py:312 MaxPool2d(3, 2, ceil_mode=True):
+                # windows anchor at 0,2,4,... with a partial tail window
+                # — END-only padding (flax pads max_pool with -inf,
+                # matching ceil_mode's partial-window semantics; one end
+                # pad yields ceil sizing for even H and is inert for odd
+                # H). The previous symmetric pad-1 pool was MISALIGNED
+                # by one pixel vs the reference checkpoints.
                 x = nn.max_pool(x, (3, 3), strides=(2, 2),
-                                padding=((1, 1), (1, 1)))
+                                padding=((0, 1), (0, 1)))
             cls = (nn.remat(OSAModule, static_argnums=(2,))
                    if self.use_checkpoint else OSAModule)
             for bi in range(self.block_per_stage[si]):

@@ -42,6 +42,7 @@ class VoteHead(nn.Module):
     score_thr: float = 0.05
     max_num: int = 64
     fps_chunks: int = 1   # >1 → bucketed FPS in the aggregation SA
+    ballq: str = ''       # neighbor selection: ''|'exact'|'approx'
 
     def _mean_sizes(self):
         if self.mean_sizes is not None:
@@ -71,7 +72,8 @@ class VoteHead(nn.Module):
         # build the SA module once, vmap its apply over the batch
         agg = PointSAModule(self.num_proposals, self.agg_radius,
                             self.agg_num_sample, tuple(self.agg_channels),
-                            fps_chunks=self.fps_chunks, name='agg')
+                            fps_chunks=self.fps_chunks, ballq=self.ballq,
+                            name='agg')
         ctr_xyz, ctr_feat, ctr_mask, _ = vm_agg(agg, vote_xyz, vote_feat,
                                                 seed_mask)
 

@@ -48,6 +48,7 @@ class PointSAModule(nn.Module):
     mlp_channels: Sequence[int]
     use_xyz: bool = True
     fps_chunks: int = 1   # >1 → bucketed subsample-union FPS (TPU fast)
+    ballq: str = ''       # '' env-default | 'exact' | 'approx' (TPU fast)
 
     @nn.compact
     def __call__(self, xyz, feats, mask, train: bool = False,
@@ -64,7 +65,7 @@ class PointSAModule(nn.Module):
             new_xyz = xyz[idx]
             new_mask = mask[idx]
         nidx, nvalid = ball_query(new_xyz, xyz, mask, self.radius,
-                                  self.num_sample)
+                                  self.num_sample, method=self.ballq)
         grouped_xyz = grouping_operation(xyz, nidx) - new_xyz[:, None]
         if feats is not None:
             g = grouping_operation(feats, nidx)
@@ -90,6 +91,7 @@ class PointSAModuleMSG(nn.Module):
     mlp_channels: Sequence[Sequence[int]]
     use_xyz: bool = True
     fps_chunks: int = 1
+    ballq: str = ''
 
     @nn.compact
     def __call__(self, xyz, feats, mask, train: bool = False,
@@ -101,7 +103,8 @@ class PointSAModuleMSG(nn.Module):
         outs = []
         for bi, (r, k, mlp) in enumerate(zip(self.radii, self.num_samples,
                                              self.mlp_channels)):
-            nidx, nvalid = ball_query(new_xyz, xyz, mask, r, k)
+            nidx, nvalid = ball_query(new_xyz, xyz, mask, r, k,
+                                      method=self.ballq)
             grouped_xyz = grouping_operation(xyz, nidx) - new_xyz[:, None]
             if feats is not None:
                 g = grouping_operation(feats, nidx)
@@ -186,6 +189,7 @@ class PAConvSAModule(nn.Module):
     mlp_channels: Sequence[int]
     num_kernels: int = 8
     fps_chunks: int = 1
+    ballq: str = ''
 
     @nn.compact
     def __call__(self, xyz, feats, mask, train: bool = False):
@@ -193,7 +197,7 @@ class PAConvSAModule(nn.Module):
         new_xyz = xyz[idx]
         new_mask = mask[idx]
         nidx, nvalid = ball_query(new_xyz, xyz, mask, self.radius,
-                                  self.num_sample)
+                                  self.num_sample, method=self.ballq)
         g_xyz = grouping_operation(xyz, nidx) - new_xyz[:, None]
         g = g_xyz if feats is None else jnp.concatenate(
             [g_xyz, grouping_operation(feats, nidx)], -1)

@@ -40,6 +40,7 @@ class SparseConvLayer(nn.Module):
     act: bool = True
     active_rule: str = 'floor'   # strided active-set rule (tile backend)
     compute_dtype: str = ''      # e.g. 'bfloat16' — tile-backend GEMM dtype
+    bn_eps: float = 1e-3         # mmdet3d spconv BN eps; torchsparse 1e-5
 
     @nn.compact
     def __call__(self, st, train: bool = False,
@@ -70,7 +71,8 @@ class SparseConvLayer(nn.Module):
             mflat = out.mask.reshape(-1)
             fflat = f.reshape(-1, self.out_channels)
             if self.use_bn:
-                fflat = MaskedBatchNorm()(fflat, mflat, train=train)
+                fflat = MaskedBatchNorm(eps=self.bn_eps)(fflat, mflat,
+                                                         train=train)
             if self.act:
                 fflat = nn.relu(fflat)
             fflat = jnp.where(mflat[:, None], fflat, 0.0)
@@ -84,7 +86,7 @@ class SparseConvLayer(nn.Module):
                                 out_capacity=self.out_capacity)
         f = out.features
         if self.use_bn:
-            f = MaskedBatchNorm()(f, out.valid, train=train)
+            f = MaskedBatchNorm(eps=self.bn_eps)(f, out.valid, train=train)
         if self.act:
             f = nn.relu(f)
         f = jnp.where(out.valid[:, None], f, 0.0)

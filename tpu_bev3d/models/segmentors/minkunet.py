@@ -51,6 +51,7 @@ class SparseBasicBlock(nn.Module):
     TileTensor table (same params either way)."""
     out_channels: int
     compute_dtype: str = ''      # tile GEMM dtype (e.g. 'bfloat16')
+    bn_eps: float = 1e-5         # torchsparse BN default (checkpoint parity)
 
     @nn.compact
     def __call__(self, st, train: bool = False,
@@ -61,9 +62,11 @@ class SparseBasicBlock(nn.Module):
             cin = st.channels
             x = SparseConvLayer(self.out_channels, 3, subm=True,
                                 compute_dtype=self.compute_dtype,
+                                bn_eps=self.bn_eps,
                                 name='conv1')(st, train)
             x = SparseConvLayer(self.out_channels, 3, subm=True, act=False,
                                 compute_dtype=self.compute_dtype,
+                                bn_eps=self.bn_eps,
                                 name='conv2')(x, train)
             T, S = st.features.shape[0], st.S
             mflat = st.mask.reshape(-1)
@@ -71,7 +74,8 @@ class SparseBasicBlock(nn.Module):
             if cin != self.out_channels:
                 ident = nn.Dense(self.out_channels, use_bias=False,
                                  name='down')(ident)
-                ident = MaskedBatchNorm(name='down_bn')(ident, mflat,
+                ident = MaskedBatchNorm(eps=self.bn_eps,
+                                        name='down_bn')(ident, mflat,
                                                         train=train)
             f = nn.relu(x.features.reshape(T * S, self.out_channels)
                         + ident)
@@ -79,14 +83,17 @@ class SparseBasicBlock(nn.Module):
             return x.replace_features(f.reshape(T, S * self.out_channels))
         cin = st.features.shape[-1]
         x = SparseConvLayer(self.out_channels, 3, subm=True,
+                            bn_eps=self.bn_eps,
                             name='conv1')(st, train, rulebook=rulebook)
         x = SparseConvLayer(self.out_channels, 3, subm=True, act=False,
+                            bn_eps=self.bn_eps,
                             name='conv2')(x, train, rulebook=rulebook)
         ident = st.features
         if cin != self.out_channels:
             ident = nn.Dense(self.out_channels, use_bias=False,
                              name='down')(ident)
-            ident = MaskedBatchNorm(name='down_bn')(ident, st.valid,
+            ident = MaskedBatchNorm(eps=self.bn_eps,
+                                    name='down_bn')(ident, st.valid,
                                                     train=train)
         f = nn.relu(x.features + ident)
         f = jnp.where(st.valid[:, None], f, 0.0)
@@ -100,6 +107,7 @@ class SparseInverseConvLayer(nn.Module):
     kernel_size: int = 2
     stride: int = 2
     compute_dtype: str = ''      # tile GEMM dtype (e.g. 'bfloat16')
+    bn_eps: float = 1e-5         # torchsparse BN default (checkpoint parity)
 
     @nn.compact
     def __call__(self, st, target, train: bool = False):
@@ -122,7 +130,7 @@ class SparseInverseConvLayer(nn.Module):
                                       compute_dtype=cdt)
             T, S = out.features.shape[0], out.S
             mflat = out.mask.reshape(-1)
-            f = MaskedBatchNorm()(
+            f = MaskedBatchNorm(eps=self.bn_eps)(
                 out.features.reshape(T * S, self.out_channels), mflat,
                 train=train)
             f = jnp.where(mflat[:, None], nn.relu(f), 0.0)
@@ -138,7 +146,8 @@ class SparseInverseConvLayer(nn.Module):
         out = sparse_inverse_conv3d(
             st, target.coords, target.valid, target.spatial_shape, w,
             kernel_size=self.kernel_size, stride=self.stride, padding=0)
-        f = MaskedBatchNorm()(out.features, out.valid, train=train)
+        f = MaskedBatchNorm(eps=self.bn_eps)(out.features, out.valid,
+                                             train=train)
         f = jnp.where(out.valid[:, None], nn.relu(f), 0.0)
         return SparseTensor(f, out.coords, out.spatial_shape,
                             out.batch_size)
@@ -214,10 +223,10 @@ class MinkUNetBackbone(nn.Module):
         else:
             rb = build_subm_rulebook(st, 3)
         st = SparseConvLayer(self.base_channels, 3, subm=True,
-                             compute_dtype=self.tile_dtype,
+                             compute_dtype=self.tile_dtype, bn_eps=1e-5,
                              name='stem0')(st, train, rulebook=rb)
         st = SparseConvLayer(self.base_channels, 3, subm=True,
-                             compute_dtype=self.tile_dtype,
+                             compute_dtype=self.tile_dtype, bn_eps=1e-5,
                              name='stem1')(st, train, rulebook=rb)
         laterals = [st]
         caps = self.stage_capacities
@@ -234,6 +243,7 @@ class MinkUNetBackbone(nn.Module):
             st = SparseConvLayer(
                 ch_in, 2, stride=2, padding=0, subm=False,
                 out_capacity=out_cap, compute_dtype=self.tile_dtype,
+                bn_eps=1e-5,
                 name=f'down{i}')(st, train)
             rb = None if is_tile else build_subm_rulebook(st, 3)
             for j in range(self.encoder_blocks[i]):

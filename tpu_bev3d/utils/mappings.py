@@ -426,6 +426,120 @@ def second_kitti_mapping(model_cfg: dict) -> Dict[str, Tuple[str, ...]]:
     return m
 
 
+def vovnetcp_mapping(backbone_cfg: dict, prefix: str = 'img_backbone.',
+                     flax_prefix: Tuple[str, ...] = ('_img_backbone',)
+                     ) -> Dict[str, Tuple[str, ...]]:
+    """VoVNetCP (PETR/StreamPETR image backbone) — ref state-dict names
+    from projects/PETR/petr/vovnetcp.py:346: OrderedDict'd conv names
+    with slashes (``stem.stem_1/conv``), stages ``stage{S}.OSA{S}_{B}``
+    with ``layers.{i}.OSA{S}_{B}_{i}/conv``, ``concat.*_concat/conv``,
+    and ``ese.fc``. Parity-tested in
+    tests/test_utils/test_vovnet_minkunet_import.py."""
+    m: Dict[str, Tuple[str, ...]] = {}
+    P, F = prefix, flax_prefix
+    for i in range(3):
+        m.update(_convbn(f'{P}stem.stem_{i + 1}/conv',
+                         f'{P}stem.stem_{i + 1}/norm', F + (f'stem{i}',)))
+    bps = list(backbone_cfg.get('block_per_stage', (1, 1, 2, 2)))
+    lpb = int(backbone_cfg.get('layer_per_block', 5))
+    for si, nb in enumerate(bps):
+        sn = si + 2
+        for bi in range(nb):
+            mod = f'OSA{sn}_{bi + 1}'
+            tp = f'{P}stage{sn}.{mod}.'
+            fp = F + (f'stage{si}_osa{bi}',)
+            for li in range(lpb):
+                m.update(_convbn(f'{tp}layers.{li}.{mod}_{li}/conv',
+                                 f'{tp}layers.{li}.{mod}_{li}/norm',
+                                 fp + (f'conv{li}',)))
+            m.update(_convbn(f'{tp}concat.{mod}_concat/conv',
+                             f'{tp}concat.{mod}_concat/norm',
+                             fp + ('concat_conv',)))
+            m[f'{tp}ese.fc.weight|conv2d'] = \
+                ('params',) + fp + ('ese', 'fc', 'kernel')
+            m[f'{tp}ese.fc.bias'] = ('params',) + fp + ('ese', 'fc', 'bias')
+    return m
+
+
+def minkunet_mapping(model_cfg: dict, prefix: str = 'backbone.',
+                     flax_prefix: Tuple[str, ...] = ('_backbone',)
+                     ) -> Dict[str, Tuple[str, ...]]:
+    """MinkUNet (torchsparse backend) — ref state-dict names from
+    mmdet3d/models/backbones/minkunet_backbone.py:118-198 +
+    layers/torchsparse_block.py: ``conv_input.{0,1}.net.{0=conv,1=bn}``,
+    ``encoder.{i}.{0=down, j+1=block}``, ``decoder.{i}.{0=up,
+    1.{j}=block}``; blocks carry ``net.{0,1,3,4}`` + optional
+    ``downsample.{0,1}``; the head is ``decode_head.conv_seg`` (Linear).
+
+    Kernel-order contract (documented assumption, torchsparse 2.x
+    ``get_kernel_offsets``): odd-volume kernels enumerate z-outer/
+    x-fastest — identical to ops/sparse_conv._offsets, so they
+    pass through ('|raw'); even-volume kernels (the k2-s2 down/up convs)
+    enumerate x-outer/z-fastest and permute ('|tsparse_even'). 1×1
+    downsample kernels are stored [Cin, Cout] → Dense kernel directly.
+    """
+    m: Dict[str, Tuple[str, ...]] = {}
+    P, F = prefix, flax_prefix
+    b = model_cfg['backbone']
+    base = int(b.get('base_channels', 32))
+    enc = [base] + [int(c) for c in b['encoder_channels']]
+    dec = [enc[-1]] + [int(c) for c in b['decoder_channels']]
+    eb = [int(x) for x in b.get('encoder_blocks', (2, 2, 2, 2))]
+    db = [int(x) for x in b.get('decoder_blocks', (2, 2, 2, 2))]
+
+    def conv_bn(tconv, tbn, fpath, kind='raw'):
+        m[f'{tconv}.kernel|{kind}'] = ('params',) + fpath + ('kernel',)
+        m[f'{tbn}.weight'] = \
+            ('params',) + fpath + ('MaskedBatchNorm_0', 'scale')
+        m[f'{tbn}.bias'] = \
+            ('params',) + fpath + ('MaskedBatchNorm_0', 'bias')
+        m[f'{tbn}.running_mean'] = \
+            ('batch_stats',) + fpath + ('MaskedBatchNorm_0', 'mean')
+        m[f'{tbn}.running_var'] = \
+            ('batch_stats',) + fpath + ('MaskedBatchNorm_0', 'var')
+
+    def block(tp, fp, cin, cout):
+        conv_bn(f'{tp}.net.0', f'{tp}.net.1', fp + ('conv1',))
+        conv_bn(f'{tp}.net.3', f'{tp}.net.4', fp + ('conv2',))
+        if cin != cout:
+            m[f'{tp}.downsample.0.kernel|raw'] = \
+                ('params',) + fp + ('down', 'kernel')
+            m[f'{tp}.downsample.1.weight'] = \
+                ('params',) + fp + ('down_bn', 'scale')
+            m[f'{tp}.downsample.1.bias'] = \
+                ('params',) + fp + ('down_bn', 'bias')
+            m[f'{tp}.downsample.1.running_mean'] = \
+                ('batch_stats',) + fp + ('down_bn', 'mean')
+            m[f'{tp}.downsample.1.running_var'] = \
+                ('batch_stats',) + fp + ('down_bn', 'var')
+
+    conv_bn(f'{P}conv_input.0.net.0', f'{P}conv_input.0.net.1',
+            F + ('stem0',))
+    conv_bn(f'{P}conv_input.1.net.0', f'{P}conv_input.1.net.1',
+            F + ('stem1',))
+    n = len(enc) - 1
+    for i in range(n):
+        conv_bn(f'{P}encoder.{i}.0.net.0', f'{P}encoder.{i}.0.net.1',
+                F + (f'down{i}',), kind='tsparse_even')
+        cin = enc[i]
+        for j in range(eb[i]):
+            block(f'{P}encoder.{i}.{j + 1}', F + (f'enc{i}_{j}',),
+                  cin, enc[i + 1])
+            cin = enc[i + 1]
+    for i in range(n):
+        conv_bn(f'{P}decoder.{i}.0.net.0', f'{P}decoder.{i}.0.net.1',
+                F + (f'up{i}',), kind='tsparse_even')
+        skip = enc[-2 - i]
+        cin = dec[i + 1] + skip
+        for j in range(db[i]):
+            block(f'{P}decoder.{i}.1.{j}', F + (f'dec{i}_{j}',),
+                  cin, dec[i + 1])
+            cin = dec[i + 1]
+    m['decode_head.conv_seg.weight|linear'] = ('params', '_cls', 'kernel')
+    m['decode_head.conv_seg.bias'] = ('params', '_cls', 'bias')
+    return m
+
+
 def mapping_for_model(model_cfg: dict) -> Dict[str, Tuple[str, ...]]:
     """Dispatch a model config to its torch→flax mapping table (consumed by
     apis.init_model for .pth checkpoints and
@@ -442,6 +556,8 @@ def mapping_for_model(model_cfg: dict) -> Dict[str, Tuple[str, ...]]:
         return second_kitti_mapping(model_cfg)
     if t == 'PointPillars':
         return pointpillars_mapping(model_cfg)
+    if t == 'MinkUNet':
+        return minkunet_mapping(model_cfg)
     raise KeyError(f'no torch mapping table for model type {t!r}')
 
 

@@ -89,6 +89,21 @@ def sparse_conv_kernel(w):
     return w.reshape(kz * ky * kx, I, O)
 
 
+def tsparse_even_kernel(w):
+    """torchsparse spnn.Conv3d EVEN-volume kernel [K³, I, O] → our
+    z-outer/x-fastest offset order. torchsparse 2.x get_kernel_offsets
+    enumerates even kernels x-outer/z-fastest (odd kernels already match
+    our order and pass through '|raw'). Documented assumption — no
+    torchsparse in this image; the order is parity-tested against the
+    from-spec oracle in tests/torch_refs/minkunet_ref.py."""
+    w = _to_np(w)
+    k = round(w.shape[0] ** (1 / 3))
+    assert k ** 3 == w.shape[0] and k % 2 == 0, w.shape
+    idx = np.arange(k ** 3).reshape(k, k, k)    # [x, y, z] torch order
+    perm = np.transpose(idx, (2, 1, 0)).reshape(-1)  # → [z, y, x] ours
+    return w[perm]
+
+
 def relpos_bias_resample(t, window_target: int) -> np.ndarray:
     """Swin relative-position bias table [(2w'-1)², h] → target window's
     [(2w-1)², h] by bicubic resampling of the 2D bias grid — the standard
@@ -143,7 +158,9 @@ def convert_torch_checkpoint(state_dict, variables: dict,
     out = unfreeze(jax.tree_util.tree_map(np.asarray, variables))
     converters = dict(conv2d=conv2d_kernel, deconv2d=deconv2d_kernel,
                       linear=linear_kernel, conv1d=conv1d_kernel,
-                      spconv=sparse_conv_kernel, mha_q=mha_q, mha_k=mha_k,
+                      spconv=sparse_conv_kernel,
+                      tsparse_even=tsparse_even_kernel,
+                      mha_q=mha_q, mha_k=mha_k,
                       mha_v=mha_v, mha_out=mha_out, raw=_to_np)
     used = set()
     for tname, fpath in mapping.items():
