@@ -13,6 +13,16 @@ model = dict(
     voxel_encoder=dict(type='HardSimpleVFE'),
     middle_encoder=dict(
         type='SparseUNet',
+        # block-sparse tile backend (r5): same semantics as the flat
+        # gather-GEMM UNet (model-level exactness test
+        # tests/test_models/test_sparse_unet_tile.py), in the TPU
+        # performance class. Caps sized on the surface-clustered 20k-pt
+        # generator (4701/1996/794/322 active tiles per stage) with
+        # ~1.7x margin; overruns visible via TPU_BEV3D_TILE_DEBUG=1.
+        backend='tile',
+        tile_shape=(2, 4, 4),
+        tile_capacities=[8192, 4096, 2048, 1024],
+        tile_dtype='bfloat16',
         in_channels=4,
         sparse_shape=[41, 1600, 1408],
         base_channels=16,

@@ -81,3 +81,31 @@ def test_bucketed_fused_fps():
     a = furthest_point_sample_fused_bucketed(xyz, feats, mask, S, 1)
     b = furthest_point_sample_fused(xyz, feats, mask, S)
     assert (np.asarray(a) == np.asarray(b)).all()
+
+
+def test_pallas_stem_scatter_matches_xla():
+    """Pallas fused stem kernel (interpret mode) == fused_stem_scatter
+    (the VERDICT r4 item-9 measured-attempt kernel)."""
+    from tpu_bev3d.ops.pallas_stem import pallas_stem_scatter
+    from tpu_bev3d.models.middle_encoders.bev_column_encoder import \
+        fused_stem_scatter
+    rng = np.random.RandomState(1)
+    V, C, ch0 = 300, 5, 16
+    nz, ny, nx, p = 4, 16, 16, 2
+    coords = np.full((V, 4), -1, np.int32)
+    n = 250
+    coords[:n, 0] = rng.randint(0, 2, n)
+    coords[:n, 1] = rng.randint(0, nz, n)
+    coords[:n, 2] = rng.randint(0, ny, n)
+    coords[:n, 3] = rng.randint(0, nx, n)
+    feats = rng.randn(V, C).astype(np.float32)
+    w = (rng.randn(nz * p * p, C, ch0) * 0.1).astype(np.float32)
+    a = pallas_stem_scatter(jnp.asarray(feats), jnp.asarray(coords),
+                            jnp.asarray(w), batch_size=2, nz=nz, ny=ny,
+                            nx=nx, pack_xy=p, max_rows=128,
+                            interpret=True)
+    b = fused_stem_scatter(jnp.asarray(feats), jnp.asarray(coords),
+                           jnp.asarray(w), batch_size=2, nz=nz, ny=ny,
+                           nx=nx, pack_xy=p)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5,
+                               atol=1e-5)

@@ -297,3 +297,57 @@ def test_sorted_index_capacity_overflow_matches_dense(rng):
                                       np.asarray(ts.features))
         np.testing.assert_array_equal(np.asarray(td.nb_idx),
                                       np.asarray(ts.nb_idx))
+
+
+def _make_pair(rng, shape=(8, 12, 12), n_coarse=40, n_fine=90,
+               coarse_shape=None):
+    """Random coarse + fine sparse tensors for inverse-conv tests."""
+    cs = coarse_shape or tuple(s // 2 for s in shape)
+    def mk(n, sp, cap):
+        coords = set()
+        while len(coords) < n:
+            b = rng.integers(0, 2)
+            z, y, x = (rng.integers(0, s) for s in sp)
+            coords.add((b, z, y, x))
+        coords = np.array(sorted(coords), np.int32)
+        feats = rng.standard_normal((n, 6)).astype(np.float32)
+        fp = np.zeros((cap, 6), np.float32); fp[:n] = feats
+        cp = np.full((cap, 4), -1, np.int32); cp[:n] = coords
+        from tpu_bev3d.ops.sparse_conv import SparseTensor
+        return SparseTensor(jnp.asarray(fp), jnp.asarray(cp), sp, 2)
+    return mk(n_coarse, cs, 64), mk(n_fine, shape, 128)
+
+
+@pytest.mark.parametrize('geom', [
+    dict(kernel_size=3, stride=2, padding=1),
+    dict(kernel_size=3, stride=2, padding=0),
+    dict(kernel_size=2, stride=2, padding=0),
+    dict(kernel_size=3, stride=1, padding=1),
+])
+@pytest.mark.parametrize('index_mode', ['dense', 'sorted'])
+def test_general_tile_inverse_matches_flat(rng, geom, index_mode):
+    from tpu_bev3d.ops.sparse_conv import sparse_inverse_conv3d
+    from tpu_bev3d.ops.tile_sparse import tile_inverse_conv3d_general
+    shape = (8, 12, 12)
+    cs = shape if geom['stride'] == 1 else tuple(s // 2 for s in shape)
+    coarse, fine = _make_pair(rng, shape, coarse_shape=cs)
+    k3 = int(np.prod([geom['kernel_size']] * 3))
+    w = (rng.standard_normal((k3, 6, 5)) * 0.3).astype(np.float32)
+
+    ref = sparse_inverse_conv3d(coarse, fine.coords, fine.valid,
+                                shape, jnp.asarray(w), **geom)
+
+    tc_c = tiles_from_sparse(coarse, (2, 4, 4), capacity=48,
+                             index_mode=index_mode)
+    tc_f = tiles_from_sparse(fine, (2, 2, 4), capacity=96,
+                             index_mode=index_mode)
+    out = tile_inverse_conv3d_general(tc_c, tc_f, jnp.asarray(w), **geom)
+
+    got = tile_map(out)
+    rc = np.asarray(ref.coords)
+    rf = np.asarray(ref.features)
+    want = {tuple(rc[i]): rf[i] for i in range(len(rc)) if rc[i, 0] >= 0}
+    assert set(got) == set(want)
+    for kk in want:
+        np.testing.assert_allclose(got[kk], want[kk], rtol=2e-4,
+                                   atol=2e-4)

@@ -17,6 +17,13 @@ def main():
     p.add_argument('--batch-size', type=int, default=None)
     p.add_argument('--num-points', type=int, default=20000)
     p.add_argument('--iters', type=int, default=20)
+    p.add_argument('--points-dist', default='uniform',
+                   choices=['uniform', 'lidar'],
+                   help='synthetic cloud generator; "lidar" = surface-'
+                        'clustered (representative for sparsity-'
+                        'exploiting backends — benchmark.py\'s default); '
+                        '"uniform" kept default for continuity with '
+                        'earlier train rows')
     args = p.parse_args()
 
     import jax
@@ -65,7 +72,7 @@ def main():
             rng=np.random.default_rng(seed), batch_size=bsz,
             num_points=args.num_points, point_dim=pdim,
             pc_range=pcr, num_classes=ncls,
-            with_velocity=wv)
+            with_velocity=wv, distribution=args.points_dist)
 
     host_batches = [mk_host(i) for i in range(4)]
 

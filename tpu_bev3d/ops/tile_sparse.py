@@ -52,7 +52,7 @@ from jax import lax
 __all__ = [
     'TileTensor', 'tiles_from_sparse', 'tiles_to_sparse', 'tile_dense',
     'subm_conv3d_tile', 'sparse_conv3d_tile', 'tile_inverse_conv3d',
-    'tile_gather_voxels', 'auto_tile_shape',
+    'tile_inverse_conv3d_general', 'tile_gather_voxels', 'auto_tile_shape',
 ]
 
 
@@ -787,6 +787,117 @@ def tile_gather_voxels(tt: TileTensor, coords):
     fp = jnp.concatenate([f, jnp.zeros((1, S, C), f.dtype)], 0)
     rows = fp[slot, cell_lin]                            # [N, C]
     return jnp.where(valid[:, None], rows, 0)
+
+
+def tile_inverse_conv3d_general(tt: TileTensor, target: TileTensor,
+                                weight, kernel_size=3, stride=1,
+                                padding=1, compute_dtype=None):
+    """Inverse (transposed) sparse conv onto a KNOWN target tile table —
+    GENERAL geometry: any kernel k, stride s ∈ {1, 2} with
+    ``target.tile_shape % s == 0``, any padding, and in/out tile shapes
+    may differ (ref spconv SparseInverseConv3d with arbitrary k — the
+    Part-A2 SparseUNet decoder's k3 upsamples,
+    mmdet3d/models/middle_encoders/sparse_unet.py:250-276; flat twin
+    ops/sparse_conv.py sparse_inverse_conv3d).
+
+    Semantics: forward conv maps fine c → coarse o where
+    ``o·s - p + d == c`` (d ∈ [0,k)³); the inverse writes
+    ``out[c] = Σ in[o]·W[d]`` over those pairs, masked to the target's
+    recorded active sites (no active-set rule — the table is given).
+
+    Tile formulation: per fine tile (origin C0 = q·t_f, t_f % s == 0 so
+    the window geometry is tile-invariant) gather the J³ contributor
+    coarse tiles, assemble the coarse window, and run ONE
+    ``lhs_dilation=s`` conv with the spatially REVERSED kernel — the
+    standard transposed-conv identity — then statically slice the t_f
+    region. The per-tile window offset inside the gathered block is
+    dynamic (coarse tiles don't align with fine windows); it is applied
+    with one take_along_axis per axis.
+    """
+    ks = _b3(kernel_size)
+    strd = _b3(stride)
+    pad = _b3(padding)
+    assert all(s in (1, 2) for s in strd), strd
+    assert all(k >= s for k, s in zip(ks, strd))
+    tf = target.tile_shape
+    tc = tt.tile_shape
+    assert all(tf[i] % strd[i] == 0 for i in range(3)), (tf, strd)
+    T, Sc, C = tt.features.shape[0], tt.S, tt.channels
+    Cout = weight.shape[2]
+    To = target.features.shape[0]
+    grid_c = tt.tiles_grid
+    B = tt.batch_size
+
+    # per-axis window geometry (constants given tf % s == 0)
+    A = tuple((pad[i] - ks[i] + strd[i]) // strd[i] for i in range(3))
+    # O0 = C0/s + A ; O1 = (C0 + tf-1+p)/s ; WL = O1 - O0 + 1
+    WL = tuple((tf[i] - 1 + pad[i]) // strd[i] - A[i] + 1
+               for i in range(3))
+    J = tuple((WL[i] + tc[i] - 2) // tc[i] + 1 for i in range(3))
+
+    # ---- contributor coarse tiles per fine tile -----------------------
+    oc = target.tile_coords
+    ovalid = target.valid
+    C0 = oc[:, 1:] * jnp.asarray(tf, jnp.int32)              # [To, 3]
+    O0 = C0 // jnp.asarray(strd, jnp.int32) + jnp.asarray(A, jnp.int32)
+    jb = jnp.where(ovalid[:, None],
+                   O0 // jnp.asarray(tc, jnp.int32), 0)      # base tile
+    off = jnp.where(ovalid[:, None],
+                    O0 - jb * jnp.asarray(tc, jnp.int32), 0)  # [To,3] ≥0
+    joffs = np.stack(np.meshgrid(*[np.arange(J[i]) for i in range(3)],
+                                 indexing='ij'), -1).reshape(-1, 3)
+    J3 = len(joffs)
+    ctrc = jb[None] + jnp.asarray(joffs, jnp.int32)[:, None]  # [J3,To,3]
+    okj = (ovalid[None]
+           & jnp.all((ctrc >= 0)
+                     & (ctrc < jnp.asarray(grid_c, jnp.int32)), -1))
+    gz, gy, gx = grid_c
+    clin = (oc[None, :, 0] * (gz * gy * gx) + ctrc[..., 0] * (gy * gx)
+            + ctrc[..., 1] * gx + ctrc[..., 2])
+    n_in = B * gz * gy * gx
+    clin = jnp.where(okj, clin, n_in)
+    if tt.index_mode == 'sorted':
+        slots = _lookup_sorted(tt.smap, clin, jnp.int32(n_in),
+                               jnp.int32(T))
+    else:
+        slots = jnp.minimum(tt.smap[clin], T)
+
+    f = _masked_flat(tt, compute_dtype)
+    xp = jnp.concatenate([f, jnp.zeros((1, Sc * C), f.dtype)], 0)
+    rows = _gather_rows(xp, slots)                       # [J3·To, Sc·C]
+    block = rows.reshape(J + (To,) + tc + (C,))
+    block = jnp.transpose(block, (3, 0, 4, 1, 5, 2, 6, 7)).reshape(
+        (To,) + tuple(J[i] * tc[i] for i in range(3)) + (C,))
+
+    # ---- per-tile dynamic window select (one take per axis) ----------
+    for ax in range(3):
+        tgt = block.shape[:1 + ax] + (WL[ax],) + block.shape[2 + ax:]
+        base = off[:, ax].reshape((To,) + (1,) * (block.ndim - 1))
+        idx = base + lax.broadcasted_iota(jnp.int32, tgt, 1 + ax)
+        block = jnp.take_along_axis(block, idx, axis=1 + ax)
+
+    # ---- transposed conv: reversed kernel + lhs_dilation -------------
+    wk = weight.reshape(ks + (C, Cout))[::-1, ::-1, ::-1].astype(
+        block.dtype)
+    # out[j] ↦ fine c = O0·s + j + (k-1) - p ; want j ∈ [jst, jst+tf)
+    jst = tuple(-A[i] * strd[i] - ks[i] + 1 + pad[i] for i in range(3))
+    pad_lo = tuple(max(0, -jst[i]) for i in range(3))
+    out_len = tuple(strd[i] * (WL[i] - 1) + 1 + pad_lo[i] - ks[i] + 1
+                    for i in range(3))
+    pad_hi = tuple(max(0, jst[i] + pad_lo[i] + tf[i] - out_len[i])
+                   for i in range(3))
+    y = lax.conv_general_dilated(
+        block, wk, (1, 1, 1),
+        padding=tuple((pad_lo[i], pad_hi[i]) for i in range(3)),
+        lhs_dilation=strd,
+        dimension_numbers=('NDHWC', 'DHWIO', 'NDHWC'))
+    y = lax.slice(y, (0,) + tuple(jst[i] + pad_lo[i] for i in range(3))
+                  + (0,),
+                  (To,) + tuple(jst[i] + pad_lo[i] + tf[i]
+                                for i in range(3)) + (Cout,))
+    out = y.astype(tt.features.dtype).reshape(To, -1)
+    out = jnp.where(jnp.repeat(target.mask, Cout, axis=1), out, 0)
+    return target.replace_features(out)
 
 
 def tile_inverse_conv3d(tt: TileTensor, target: TileTensor, weight,
