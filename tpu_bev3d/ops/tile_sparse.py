@@ -812,7 +812,7 @@ def tile_inverse_conv3d_general(tt: TileTensor, target: TileTensor,
     standard transposed-conv identity — then statically slice the t_f
     region. The per-tile window offset inside the gathered block is
     dynamic (coarse tiles don't align with fine windows); it is applied
-    with one take_along_axis per axis.
+    with one one-hot select einsum per axis.
     """
     ks = _b3(kernel_size)
     strd = _b3(stride)
@@ -869,12 +869,27 @@ def tile_inverse_conv3d_general(tt: TileTensor, target: TileTensor,
     block = jnp.transpose(block, (3, 0, 4, 1, 5, 2, 6, 7)).reshape(
         (To,) + tuple(J[i] * tc[i] for i in range(3)) + (C,))
 
-    # ---- per-tile dynamic window select (one take per axis) ----------
+    # ---- per-tile dynamic window select (one-hot einsum per axis) ----
+    # NOT take_along_axis: a broadcast-index take on a middle axis lowers
+    # to a per-element general gather — measured 2313 ms vs 10 ms for the
+    # equivalent one-hot batched matmul at Part-A2 inv s2→s1 sizing
+    # (tools/probe_inv_conv_parts.py, v5e 2026-08-20). The select matrix
+    # is [To, WL, L] with L = J·tc ≤ 8 — a tiny per-tile GEMM the MXU
+    # batches over To.
+    # precision: the select is a 0/1 permutation matmul — exact as long
+    # as the inputs are not rounded. TPU default matmul rounds f32
+    # inputs to bf16 (measured rel err 4e-3); HIGHEST keeps f32 inputs
+    # bit-exact through the select. bf16 inputs need no upgrade.
+    prec = (lax.Precision.HIGHEST if block.dtype == jnp.float32
+            else lax.Precision.DEFAULT)
     for ax in range(3):
-        tgt = block.shape[:1 + ax] + (WL[ax],) + block.shape[2 + ax:]
-        base = off[:, ax].reshape((To,) + (1,) * (block.ndim - 1))
-        idx = base + lax.broadcasted_iota(jnp.int32, tgt, 1 + ax)
-        block = jnp.take_along_axis(block, idx, axis=1 + ax)
+        L = block.shape[1 + ax]
+        sel = (off[:, ax, None, None] + jnp.arange(WL[ax])[None, :, None]
+               == jnp.arange(L)[None, None, :]).astype(block.dtype)
+        block = jnp.moveaxis(block, 1 + ax, -1)
+        block = jnp.einsum('t...l,twl->t...w', block, sel,
+                           precision=prec)
+        block = jnp.moveaxis(block, -1, 1 + ax)
 
     # ---- transposed conv: reversed kernel + lhs_dilation -------------
     wk = weight.reshape(ks + (C, Cout))[::-1, ::-1, ::-1].astype(
