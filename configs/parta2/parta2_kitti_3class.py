@@ -70,7 +70,12 @@ model = dict(
         seg_channels=16,
         grid_size=14,
         voxel_size=voxel_size,
-        point_cloud_range=point_cloud_range),
+        point_cloud_range=point_cloud_range,
+        # top-K-nearest candidate capacity per RoI (superset pool — equal
+        # to all-pairs whenever a box holds ≤ 1024 voxels, which covers
+        # KITTI objects at 0.05 m with wide margin; 25× fewer scatter
+        # rows, measured 1107 ms → see docs/benchmarks.md Part-A2)
+        roi_candidates=1024),
 )
 
 train_cfg = dict(

@@ -303,3 +303,43 @@ def test_cylinder3d_tile_backend_exact():
     out0 = np.asarray(m0.apply(v, batch, mode='tensor'))
     out1 = np.asarray(m1.apply(v, batch, mode='tensor'))
     np.testing.assert_allclose(out1, out0, rtol=1e-4, atol=1e-4)
+
+
+def test_minkunet_stage_tile_shapes_exact():
+    """Mixed per-stage tile shapes (smaller stem tiles, general inverse
+    conv on the mixed-shape decoder hops) == flat backend logits."""
+    base = dict(
+        type='MinkUNet',
+        num_classes=5,
+        voxel_size=[0.8, 0.8, 0.4],
+        point_cloud_range=[-12.8, -12.8, -3.2, 12.8, 12.8, 3.2],
+        max_voxels=512,
+        backbone=dict(
+            type='MinkUNetBackbone',
+            in_channels=4,
+            base_channels=8,
+            encoder_channels=[8, 16, 32, 32],
+            encoder_blocks=[1, 1, 1, 1],
+            decoder_channels=[32, 16, 16, 16],
+            decoder_blocks=[1, 1, 1, 1]))
+    import copy
+    tiled = copy.deepcopy(base)
+    tiled['backbone']['backend'] = 'tile'
+    tiled['backbone']['tile_shape'] = (2, 4, 4)
+    # stem/decoder-target tiles must stay divisible by the stride (the
+    # general inverse conv's tile-invariant window geometry)
+    tiled['backbone']['stage_tile_shapes'] = [
+        (2, 2, 4), (2, 4, 4), (2, 4, 4), (2, 4, 4), (2, 4, 4)]
+    tiled['backbone']['tile_capacities'] = [512, 96, 16, 4, 4]
+    rng = np.random.default_rng(7)
+    B, P = 2, 256
+    pts = rng.uniform([-12, -12, -3, 0], [12, 12, 3, 1],
+                      (B, P, 4)).astype(np.float32)
+    batch = dict(points=jnp.asarray(pts),
+                 points_mask=jnp.ones((B, P), bool))
+    m0 = build_detector_from_cfg(base)
+    m1 = build_detector_from_cfg(tiled)
+    v = m0.init(jax.random.PRNGKey(0), batch, mode='tensor')
+    out0 = np.asarray(m0.apply(v, batch, mode='tensor'))
+    out1 = np.asarray(m1.apply(v, batch, mode='tensor'))
+    np.testing.assert_allclose(out1, out0, rtol=1e-4, atol=1e-4)

@@ -98,3 +98,47 @@ def test_parta2_roi_sampler_option(small_cfg):
     for k, v in losses.items():
         assert np.isfinite(float(v)), k
     assert 'loss_rcnn_cls' in losses
+
+
+def test_roi_pruned_pool_matches_exact():
+    """roi_candidates pruning (top-K-nearest superset) reproduces the
+    all-pairs pool exactly when K covers every box's member count."""
+    from tpu_bev3d.models.roi_heads import (roi_aware_pool,
+                                            roi_aware_pool_pruned,
+                                            roi_candidate_select)
+    rng = np.random.default_rng(0)
+    V, R, C, G = 400, 12, 5, 6
+    xyz = jnp.asarray(rng.uniform(-10, 10, (V, 3)).astype(np.float32))
+    feats = jnp.asarray(rng.standard_normal((V, C)).astype(np.float32))
+    valid = jnp.asarray(rng.uniform(size=V) > 0.1)
+    rois = jnp.asarray(np.concatenate([
+        rng.uniform(-8, 8, (R, 2)), rng.uniform(-2, 0, (R, 1)),
+        rng.uniform(2, 6, (R, 3)), rng.uniform(-3, 3, (R, 1))],
+        -1).astype(np.float32))
+    idx, cv = roi_candidate_select(xyz, valid, rois, num_candidates=V)
+    for mode in ('max', 'avg'):
+        exact = roi_aware_pool(xyz, feats, valid, rois, G, mode)
+        pruned = roi_aware_pool_pruned(xyz, feats, valid, rois, G, mode,
+                                       idx, cv)
+        np.testing.assert_allclose(np.asarray(pruned), np.asarray(exact),
+                                   rtol=1e-5, atol=1e-5)
+    # K < V still exact when every member is among the K nearest
+    idx2, cv2 = roi_candidate_select(xyz, valid, rois, num_candidates=128)
+    # count members per roi to confirm the premise holds in this fixture
+    from tpu_bev3d.models.roi_heads.part_aggregation_roi_head import \
+        points_in_boxes_local
+    _, inside = points_in_boxes_local(xyz, rois)
+    inside = np.asarray(inside & valid[:, None])
+    d2 = np.sum((np.asarray(xyz)[:, None]
+                 - (np.asarray(rois[:, :3])
+                    + np.array([0, 0, 1])[None]
+                    * np.asarray(rois[:, 5:6]) / 2)[None]) ** 2, -1)
+    kth = np.sort(np.where(np.asarray(valid)[:, None], d2, np.inf),
+                  0)[127]
+    assert (np.where(inside, d2, -np.inf) <= kth[None]).all()
+    for mode in ('max', 'avg'):
+        exact = roi_aware_pool(xyz, feats, valid, rois, G, mode)
+        pruned = roi_aware_pool_pruned(xyz, feats, valid, rois, G, mode,
+                                       idx2, cv2)
+        np.testing.assert_allclose(np.asarray(pruned), np.asarray(exact),
+                                   rtol=1e-5, atol=1e-5)

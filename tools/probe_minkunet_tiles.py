@@ -21,7 +21,10 @@ def main():
     ap.add_argument('--reps', type=int, default=10)
     ap.add_argument('--num-points', type=int, default=120000)
     ap.add_argument('--channels', type=int, default=32)
-    ap.add_argument('--shapes', default='2x4x4,1x4x4,2x2x4,1x2x4,1x8x8')
+    # model-usable stem shapes must be stride-divisible (the s=2 inverse
+    # conv targets the stem table); 1x4x4 kept as an informational arm
+    ap.add_argument('--shapes',
+                    default='2x4x4,2x2x4,2x2x2,4x4x4,1x4x4')
     args = ap.parse_args()
 
     import jax

@@ -107,7 +107,7 @@ def main():
 
         def fwdbwd(c, vf_, co_, vs_=vs, unet_=unet):
             def loss(p):
-                out = unet_.apply({'params': p}, vf_ * c, co_, B)
+                out = unet_.apply({**vs_, 'params': p}, vf_ * c, co_, B)
                 return (jnp.sum(out['spatial_features'] ** 2)
                         + jnp.sum(out['seg_features'] ** 2))
             return jax.grad(loss)(vs_['params'])
@@ -136,7 +136,7 @@ def main():
         def roifb(c, so, vs_=vs, roi_=roi):
             def loss(p):
                 uo = dict(unet_out, seg_features=so * c)
-                out = roi_.apply({'params': p}, uo, props)
+                out = roi_.apply({**vs_, 'params': p}, uo, props)
                 return jnp.sum(out['scores']) + jnp.sum(out['bboxes'] ** 2)
             return jax.grad(loss)(vs_['params'])
         bench('roi_fwdbwd', roifb, unet_out['seg_features'] + 1.0)

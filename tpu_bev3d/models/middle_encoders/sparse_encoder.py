@@ -41,6 +41,10 @@ class SparseConvLayer(nn.Module):
     active_rule: str = 'floor'   # strided active-set rule (tile backend)
     compute_dtype: str = ''      # e.g. 'bfloat16' — tile-backend GEMM dtype
     bn_eps: float = 1e-3         # mmdet3d spconv BN eps; torchsparse 1e-5
+    # strided tile backend only: re-tile the output to this shape (None →
+    # keep the input tile shape). Pure relayout — per-stage tile shapes
+    # let fill-rate-poor full-res stages use smaller tiles.
+    out_tile_shape: Optional[Tuple[int, int, int]] = None
 
     @nn.compact
     def __call__(self, st, train: bool = False,
@@ -65,6 +69,7 @@ class SparseConvLayer(nn.Module):
                 out = sparse_conv3d_tile(
                     st, w, kernel_size=self.kernel_size,
                     stride=self.stride, padding=self.padding,
+                    out_tile_shape=self.out_tile_shape,
                     out_capacity=self.out_capacity,
                     rule=self.active_rule, compute_dtype=cdt)
             f = out.features                       # [T, S·Cout] flat rows

@@ -34,14 +34,17 @@ class SparseBasicBlock(nn.Module):
     SparseBasicBlock): conv-BN-ReLU-conv-BN + skip, ReLU. Works on both
     the flat SparseTensor and the block-sparse TileTensor."""
     channels: int
+    compute_dtype: str = ''      # tile GEMM dtype (e.g. 'bfloat16')
 
     @nn.compact
     def __call__(self, st, train: bool = False,
                  rulebook=None):
         from ...ops.tile_sparse import TileTensor
         out = SparseConvLayer(self.channels, 3, subm=True,
+                              compute_dtype=self.compute_dtype,
                               name='conv1')(st, train, rulebook=rulebook)
         out = SparseConvLayer(self.channels, 3, subm=True, act=False,
+                              compute_dtype=self.compute_dtype,
                               name='conv2')(out, train, rulebook=rulebook)
         if isinstance(st, TileTensor):
             f = nn.relu(out.features + st.features)
@@ -63,6 +66,7 @@ class SparseInverseConvLayer(nn.Module):
     kernel_size: int = 3
     stride: int = 2
     padding: int = 1
+    compute_dtype: str = ''      # tile GEMM dtype (e.g. 'bfloat16')
 
     @nn.compact
     def __call__(self, st, target, train: bool = False):
@@ -77,9 +81,12 @@ class SparseInverseConvLayer(nn.Module):
                                                         'uniform'),
                        (k, cin, self.out_channels))
         if isinstance(st, TileTensor):
+            cdt = (jnp.dtype(self.compute_dtype)
+                   if self.compute_dtype else None)
             out = tile_inverse_conv3d_general(
                 st, target, w, kernel_size=self.kernel_size,
-                stride=self.stride, padding=self.padding)
+                stride=self.stride, padding=self.padding,
+                compute_dtype=cdt)
             T, S = out.mask.shape
             mflat = out.mask.reshape(-1)
             f = MaskedBatchNorm()(
@@ -197,7 +204,7 @@ class SparseUNet(nn.Module):
             ch_lat = (lateral_in.channels if is_tile
                       else lateral_in.features.shape[-1])
             lat = SparseBasicBlock(
-                ch_lat,
+                ch_lat, compute_dtype=self.tile_dtype,
                 name=f'lateral_layer{k}')(lateral_in, train, rulebook=rb_k)
             if is_tile:
                 T, S = x.mask.shape
@@ -231,6 +238,7 @@ class SparseUNet(nn.Module):
                 x = SparseInverseConvLayer(
                     self.decoder_channels[i][2],
                     padding=self.encoder_paddings[k - 1][0],
+                    compute_dtype=self.tile_dtype,
                     name=f'upsample_layer{k}')(
                         summed, encode_features[k - 2], train)
             else:

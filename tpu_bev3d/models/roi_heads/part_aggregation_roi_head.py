@@ -98,6 +98,78 @@ class PointwiseSemanticHead(nn.Module):
                     loss_part=jnp.mean(l_part))
 
 
+def roi_candidate_select(xyz, valid, rois, num_candidates: int):
+    """Per-RoI top-K nearest voxels by 3D distance to the box's geometric
+    center — a capacity-bounded SUPERSET of the box members (any member
+    lies within the half-diagonal; selection is exact `top_k`, so the
+    pool below equals the all-pairs pool whenever the member count ≤ K —
+    tested in tests/test_models/test_parta2_roi.py).
+
+    Why: the all-pairs pool scatters V·R rows ([32000, 128] at KITTI
+    train sizing = 8.2M rows ×2 pools — scatters are row-count-bound,
+    ~16 ns/row); measured 1107 ms fwd+bwd on the v5e
+    (tools/probe_parta2_parts.py). Pruning to R·K rows (128·1024) keeps
+    only the distance GEMM at V·R and cuts the scatter 25×.
+
+    → idx [R, K] int32 rows into xyz, cand_valid [R, K]."""
+    ctr = rois[:, :3] + jnp.concatenate(
+        [jnp.zeros_like(rois[:, :2]), rois[:, 5:6] / 2], -1)
+    # GEMM-form pairwise distance (ranks only — exact under f32 here:
+    # ties broken by index order either way)
+    d2 = (jnp.sum(ctr ** 2, -1)[:, None]
+          - 2.0 * ctr @ xyz.T + jnp.sum(xyz ** 2, -1)[None])   # [R, V]
+    d2 = jnp.where(valid[None], d2, jnp.inf)
+    neg, idx = jax.lax.top_k(-d2, num_candidates)              # [R, K]
+    return idx, jnp.isfinite(neg)
+
+
+def roi_aware_pool_pruned(xyz, feats, valid, rois, grid_size: int,
+                          mode: str, idx, cand_valid):
+    """roi_aware_pool on a per-RoI candidate subset (roi_candidate_select):
+    identical output whenever every member is among the candidates."""
+    G = grid_size
+    R, K = idx.shape
+    C = feats.shape[1]
+    cxyz = jnp.take(xyz, idx.reshape(-1), axis=0).reshape(R, K, 3)
+    cf = jnp.take(feats, idx.reshape(-1), axis=0).reshape(R, K, C)
+
+    def one(box, pts):
+        d = pts - box[None, :3]
+        c, s = jnp.cos(-box[6]), jnp.sin(-box[6])
+        lx = d[:, 0] * c - d[:, 1] * s
+        ly = d[:, 0] * s + d[:, 1] * c
+        lz = d[:, 2]
+        inside = ((jnp.abs(lx) < box[3] / 2) & (jnp.abs(ly) < box[4] / 2)
+                  & (lz >= 0) & (lz < box[5]))
+        part = jnp.stack([lx / jnp.maximum(box[3], 1e-4) + 0.5,
+                          ly / jnp.maximum(box[4], 1e-4) + 0.5,
+                          lz / jnp.maximum(box[5], 1e-4)], -1)
+        return jnp.clip(part, 0, 1), inside
+
+    part, inside = jax.vmap(one)(rois, cxyz)          # [R,K,3], [R,K]
+    inside = inside & cand_valid
+    cell = jnp.clip((part * G).astype(jnp.int32), 0, G - 1)
+    flat = (cell[..., 0] * G * G + cell[..., 1] * G + cell[..., 2])
+    full = jnp.arange(R)[:, None] * (G ** 3) + flat
+    full = jnp.where(inside, full, R * G ** 3)
+    if mode == 'max':
+        out = jnp.full((R * G ** 3 + 1, C), -jnp.inf, feats.dtype)
+        out = out.at[full.reshape(-1)].max(
+            jnp.where(inside[..., None], cf,
+                      -jnp.inf).reshape(-1, C), mode='drop')
+        out = jnp.where(jnp.isfinite(out), out, 0.0)
+    else:
+        acc = jnp.zeros((R * G ** 3 + 1, C), feats.dtype)
+        acc = acc.at[full.reshape(-1)].add(
+            jnp.where(inside[..., None], cf, 0.0).reshape(-1, C),
+            mode='drop')
+        cnt = jnp.zeros((R * G ** 3 + 1,), feats.dtype)
+        cnt = cnt.at[full.reshape(-1)].add(
+            inside.reshape(-1).astype(feats.dtype), mode='drop')
+        out = acc / jnp.maximum(cnt[:, None], 1.0)
+    return out[:R * G ** 3].reshape(R, G, G, G, C)
+
+
 def roi_aware_pool(xyz, feats, valid, rois, grid_size: int,
                    mode: str = 'max'):
     """RoIAwarePool3d (ref mmcv ops/roiaware_pool3d): pool voxel features
@@ -165,6 +237,11 @@ class PartA2RoIHead(nn.Module):
     # (the round-1..3 behavior)
     with_roi_sampler: bool = False
     roi_sampler: Any = None        # dict(num=..., pos_fraction=..., ...)
+    # candidate capacity per RoI for the pruned pool (0 → all-pairs
+    # exact pool). Equal outputs whenever every box holds ≤ K voxels
+    # (top-K-nearest superset, roi_candidate_select); 25× fewer scatter
+    # rows at KITTI train sizing.
+    roi_candidates: int = 0
 
     @nn.compact
     def __call__(self, unet_out, proposals, train: bool = False):
@@ -194,9 +271,18 @@ class PartA2RoIHead(nn.Module):
 
         def pool_one(b, rois):
             vv = valid_all & (bidx == b)
-            pooled_seg = roi_aware_pool(xyz, seg_feats, vv, rois, G, 'max')
-            pooled_part = roi_aware_pool(xyz, part_feats, vv, rois, G,
-                                         'avg')
+            if self.roi_candidates > 0:
+                idx, cv = roi_candidate_select(xyz, vv, rois,
+                                               self.roi_candidates)
+                pooled_seg = roi_aware_pool_pruned(
+                    xyz, seg_feats, vv, rois, G, 'max', idx, cv)
+                pooled_part = roi_aware_pool_pruned(
+                    xyz, part_feats, vv, rois, G, 'avg', idx, cv)
+            else:
+                pooled_seg = roi_aware_pool(xyz, seg_feats, vv, rois, G,
+                                            'max')
+                pooled_part = roi_aware_pool(xyz, part_feats, vv, rois,
+                                             G, 'avg')
             return jnp.concatenate([pooled_part, pooled_seg], -1)
 
         pooled = jax.vmap(pool_one)(jnp.arange(B), boxes)  # [B,R,G,G,G,C]

@@ -112,7 +112,8 @@ class SparseInverseConvLayer(nn.Module):
     @nn.compact
     def __call__(self, st, target, train: bool = False):
         from ...ops.sparse_conv import sparse_inverse_conv3d
-        from ...ops.tile_sparse import TileTensor, tile_inverse_conv3d
+        from ...ops.tile_sparse import (TileTensor, tile_inverse_conv3d,
+                                        tile_inverse_conv3d_general)
         from ..layers.common import MaskedBatchNorm
         if isinstance(st, TileTensor):
             cin = st.channels
@@ -124,10 +125,17 @@ class SparseInverseConvLayer(nn.Module):
                            (k, cin, self.out_channels))
             cdt = (jnp.dtype(self.compute_dtype)
                    if self.compute_dtype else None)
-            out = tile_inverse_conv3d(st, target, w,
-                                      kernel_size=self.kernel_size,
-                                      stride=self.stride,
-                                      compute_dtype=cdt)
+            if st.tile_shape == target.tile_shape:
+                out = tile_inverse_conv3d(st, target, w,
+                                          kernel_size=self.kernel_size,
+                                          stride=self.stride,
+                                          compute_dtype=cdt)
+            else:
+                # mixed per-stage tile shapes: the k==s fast path needs
+                # matching shapes; the general inverse handles any pair
+                out = tile_inverse_conv3d_general(
+                    st, target, w, kernel_size=self.kernel_size,
+                    stride=self.stride, padding=0, compute_dtype=cdt)
             T, S = out.features.shape[0], out.S
             mflat = out.mask.reshape(-1)
             f = MaskedBatchNorm(eps=self.bn_eps)(
@@ -188,6 +196,13 @@ class MinkUNetBackbone(nn.Module):
     # (n_stages+1 entries) — required for backend='tile'.
     tile_capacities: Optional[Sequence[int]] = None
     tile_dtype: str = ''         # tile GEMM compute dtype ('bfloat16')
+    # optional PER-STAGE tile shapes [input, after_down0, ...] (n+1
+    # triples) — full-res stages fill tiles poorly (2.4 rows/tile at
+    # (2,4,4) on SemanticKITTI), so smaller stem tiles cut the padded
+    # compute; deep stages keep bigger tiles. None → tile_shape
+    # everywhere. Pure relayout (exactness-tested); each stage's shape
+    # still passes the auto_tile_shape int32 check for its OWN grid.
+    stage_tile_shapes: Optional[Sequence] = None
 
     @nn.compact
     def __call__(self, st, train: bool = False):
@@ -214,8 +229,23 @@ class MinkUNetBackbone(nn.Module):
             # grow tiles if the sorted index's int32 linear ids would
             # overflow at this grid×batch (pure relayout; the configured
             # capacities stay sufficient — bigger tiles, fewer of them)
-            tshape = auto_tile_shape(self.tile_shape, st.spatial_shape,
-                                     st.batch_size)
+            if self.stage_tile_shapes is not None:
+                if len(self.stage_tile_shapes) != n + 1:
+                    raise ValueError(
+                        f'stage_tile_shapes needs {n + 1} entries, got '
+                        f'{self.stage_tile_shapes}')
+                gshape = list(st.spatial_shape)
+                tshapes = []
+                for s_i in range(n + 1):
+                    tshapes.append(auto_tile_shape(
+                        tuple(self.stage_tile_shapes[s_i]),
+                        tuple(gshape), st.batch_size))
+                    gshape = [max(g // 2, 1) for g in gshape]
+                tshape = tshapes[0]
+            else:
+                tshape = auto_tile_shape(self.tile_shape,
+                                         st.spatial_shape, st.batch_size)
+                tshapes = [tshape] * (n + 1)
             st = tiles_from_sparse(
                 st, tshape, int(tcaps[0]) * st.batch_size,
                 index_mode='sorted')
@@ -244,6 +274,9 @@ class MinkUNetBackbone(nn.Module):
                 ch_in, 2, stride=2, padding=0, subm=False,
                 out_capacity=out_cap, compute_dtype=self.tile_dtype,
                 bn_eps=1e-5,
+                out_tile_shape=(tshapes[i + 1] if is_tile
+                                and tshapes[i + 1] != tshapes[i]
+                                else None),
                 name=f'down{i}')(st, train)
             rb = None if is_tile else build_subm_rulebook(st, 3)
             for j in range(self.encoder_blocks[i]):

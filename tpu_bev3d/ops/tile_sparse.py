@@ -880,16 +880,23 @@ def tile_inverse_conv3d_general(tt: TileTensor, target: TileTensor,
     # as the inputs are not rounded. TPU default matmul rounds f32
     # inputs to bf16 (measured rel err 4e-3); HIGHEST keeps f32 inputs
     # bit-exact through the select. bf16 inputs need no upgrade.
+    # Layout: contract with the select axis moved to position 1 and the
+    # remaining axes FLATTENED into one large minor ('twl,tlr->twr') —
+    # selecting on a trailing tiny axis padded [To,...,32,2] tiles 4×
+    # and OOM'd the Part-A2 bs=6 train backward (6 GB for one select
+    # cotangent).
     prec = (lax.Precision.HIGHEST if block.dtype == jnp.float32
             else lax.Precision.DEFAULT)
     for ax in range(3):
         L = block.shape[1 + ax]
         sel = (off[:, ax, None, None] + jnp.arange(WL[ax])[None, :, None]
                == jnp.arange(L)[None, None, :]).astype(block.dtype)
-        block = jnp.moveaxis(block, 1 + ax, -1)
-        block = jnp.einsum('t...l,twl->t...w', block, sel,
-                           precision=prec)
-        block = jnp.moveaxis(block, -1, 1 + ax)
+        moved = jnp.moveaxis(block, 1 + ax, 1)
+        rest = moved.shape[2:]
+        flat = moved.reshape(To, L, -1)
+        out = jnp.einsum('twl,tlr->twr', sel, flat, precision=prec)
+        block = jnp.moveaxis(
+            out.reshape((To, WL[ax]) + rest), 1, 1 + ax)
 
     # ---- transposed conv: reversed kernel + lhs_dilation -------------
     wk = weight.reshape(ks + (C, Cout))[::-1, ::-1, ::-1].astype(
