@@ -91,7 +91,7 @@ def main():
         tile = tuple(int(v) for v in s.split('x'))
         S = int(np.prod(tile))
         # generous capacity: V / (expected fill ~1.2) rounded up
-        cap = int(V * 1.6 / max(S // 8, 1)) if S > 8 else int(V * 1.2)
+        cap = int(V * 1.6 / max(S // 16, 1)) if S > 8 else int(V * 1.2)
         cap = min(cap, 120000)
         tt = tiles_from_sparse(st, tile, cap, index_mode='sorted')
         nact = int(jnp.sum(tt.valid))
