@@ -343,3 +343,43 @@ def test_minkunet_stage_tile_shapes_exact():
     out0 = np.asarray(m0.apply(v, batch, mode='tensor'))
     out1 = np.asarray(m1.apply(v, batch, mode='tensor'))
     np.testing.assert_allclose(out1, out0, rtol=1e-4, atol=1e-4)
+
+
+def test_minkunet_tile_bf16_close():
+    """tile_dtype='bfloat16' (the serving-precision config variant,
+    minkunet_tile_bf16_semantickitti.py) stays close to the f32 tile
+    logits — the GEMMs run bf16 on the MXU, BN/softmax stay f32."""
+    base = dict(
+        type='MinkUNet',
+        num_classes=5,
+        voxel_size=[0.8, 0.8, 0.4],
+        point_cloud_range=[-12.8, -12.8, -3.2, 12.8, 12.8, 3.2],
+        max_voxels=512,
+        backbone=dict(
+            type='MinkUNetBackbone',
+            in_channels=4,
+            base_channels=8,
+            encoder_channels=[8, 16, 32, 32],
+            encoder_blocks=[1, 1, 1, 1],
+            decoder_channels=[32, 16, 16, 16],
+            decoder_blocks=[1, 1, 1, 1],
+            backend='tile',
+            tile_shape=(2, 4, 4),
+            tile_capacities=[512, 96, 16, 4, 4]))
+    import copy
+    b16 = copy.deepcopy(base)
+    b16['backbone']['tile_dtype'] = 'bfloat16'
+    rng = np.random.default_rng(11)
+    B, P = 2, 256
+    pts = rng.uniform([-12, -12, -3, 0], [12, 12, 3, 1],
+                      (B, P, 4)).astype(np.float32)
+    batch = dict(points=jnp.asarray(pts),
+                 points_mask=jnp.ones((B, P), bool))
+    m0 = build_detector_from_cfg(base)
+    m1 = build_detector_from_cfg(b16)
+    v = m0.init(jax.random.PRNGKey(0), batch, mode='tensor')
+    out0 = np.asarray(m0.apply(v, batch, mode='tensor'))
+    out1 = np.asarray(m1.apply(v, batch, mode='tensor'))
+    assert np.isfinite(out1).all()
+    # bf16 has ~3 decimal digits; a 13-conv-deep UNet compounds it
+    np.testing.assert_allclose(out1, out0, rtol=0.12, atol=0.12)
