@@ -9,10 +9,22 @@ restructures it owner-computes: voxels are pre-sorted by canvas row
 and each grid step accumulates its own rows entirely in VMEM — no
 HBM scatter.
 
-Layout notes (Mosaic rules, see ops/pallas_nms.py): the output block is
-[dy, ch0] so the dynamic per-voxel store lands on the SUBLANE dim
-(lane-dim dynamic slicing is rejected); per-voxel scalars (y, sub,
-count) are read with [1,1] sublane loads + squeeze.
+Mosaic layout notes (see ops/pallas_nms.py and the earlier attempts'
+failures, docs/benchmarks.md):
+- a [V, C=5] f32 VMEM block pads its lane dim to 128 → 18.4 MB at
+  flagship sizing, over the 16 MB scoped-VMEM limit. So the voxel table
+  stays in HBM and each grid step DMAs ONLY its own sorted row segment
+  (dynamic start on the SUBLANE dim) into a [max_rows, 128] scratch.
+- `tpu.memref_slice` rejected both a narrow (·×5) slice of a 128-lane
+  memref and (coupled) unaligned dynamic starts, so the table is packed
+  to the native 128-lane tile host-side — feats in lanes 0..C-1, the
+  (y, sub) metadata as exact small-int floats in lanes C and C+1 — and
+  DMA starts are rounded down to the 8-row sublane tile, with the body
+  loop offset compensating.
+- per-step (1, 2) index blocks violate the sublane-divisibility rule;
+  the start/end table rides the scalar-prefetch SMEM operand
+  (``PrefetchScalarGridSpec``), which index maps and the body read with
+  dynamic scalars.
 
 Measured on v5e (tools/probe_pallas_stem.py) — see docs/benchmarks.md
 for the accept/reject record.
@@ -25,35 +37,44 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 
-def _stem_kernel(start_ref, feats_ref, meta_ref, w_ref, out_ref, *,
+def _stem_kernel(se_ref, table_hbm, w_ref, out_ref, tscr, tsem, *,
                  max_rows: int, C: int, ch0: int):
     """Grid step = one canvas x-row.
 
-    start_ref: [1, 2] int32 (row start, row end) for this x (VMEM)
-    feats_ref: [V, C] f32 sorted by dest    meta_ref: [V, 2] int32 (y, sub)
-    w_ref:     [nsub*C, ch0] f32            out_ref: [dy, ch0] f32
+    se_ref:    [B·dx, 2] int32 (row start, end) — SMEM (scalar prefetch)
+    table_hbm: [V + pad, 128] f32 sorted by dest (HBM): lanes 0..C-1 =
+        feats, lane C = y, lane C+1 = sub (exact small-int floats)
+    w_ref:     [nsub*C, ch0] f32 (VMEM)  out_ref: [dy, ch0] f32 (VMEM)
+    tscr:      [max_rows + 8, 128] f32 VMEM scratch for the segment
     """
+    i = pl.program_id(0)
+    s = se_ref[i, 0]
+    e = se_ref[i, 1]
+    s0 = (s // 8) * 8                      # sublane-tile-aligned start
+    cp = pltpu.make_async_copy(
+        table_hbm.at[pl.dslice(s0, max_rows + 8)], tscr, tsem)
+    cp.start()
     out_ref[:, :] = jnp.zeros_like(out_ref)
-    s = start_ref[0, 0]
-    e = start_ref[0, 1]
+    cp.wait()
 
     def body(r, _):
-        y = meta_ref[pl.dslice(r, 1), 0][0]
-        sub = meta_ref[pl.dslice(r, 1), 1][0]
-        x = feats_ref[pl.dslice(r, 1), :]              # [1, C]
+        row = tscr[pl.dslice(r, 1), :]                 # [1, 128]
+        y = row[0, C].astype(jnp.int32)
+        sub = row[0, C + 1].astype(jnp.int32)
         acc = jnp.zeros((1, ch0), jnp.float32)
         for c in range(C):                              # C is tiny (5)
             wrow = w_ref[pl.dslice(sub * C + c, 1), :]       # [1, ch0]
-            acc = acc + x[0, c] * wrow
+            acc = acc + row[0, c] * wrow
         cur = out_ref[pl.dslice(y, 1), :]
         out_ref[pl.dslice(y, 1), :] = cur + acc
         return 0
 
     # dynamic trip count: only this x-row's voxels (total work across the
     # grid = V, not grid·max_rows)
-    jax.lax.fori_loop(s, e, body, 0)
+    jax.lax.fori_loop(s - s0, e - s0, body, 0)
 
 
 @functools.partial(jax.jit, static_argnames=(
@@ -89,19 +110,33 @@ def pallas_stem_scatter(voxel_features, coords, weight, *, batch_size: int,
     ends = jnp.searchsorted(skey, rows + 1).astype(jnp.int32)
     ends = jnp.minimum(ends, starts + max_rows)
     se = jnp.stack([starts, ends], -1)                      # [B·dx, 2]
+    # 128-lane packed table (feats | y | sub | zeros), padded so every
+    # aligned [s0, s0 + max_rows + 8) DMA window is in bounds. y and
+    # sub are < 2^24 — exact as f32.
+    table = jnp.concatenate(
+        [feats, meta.astype(jnp.float32),
+         jnp.zeros((V, 128 - C - 2), jnp.float32)], -1)
+    table = jnp.concatenate(
+        [table, jnp.zeros((max_rows + 8, 128), jnp.float32)], 0)
 
-    out = pl.pallas_call(
-        functools.partial(_stem_kernel, max_rows=max_rows, C=C, ch0=ch0),
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
         grid=(batch_size * dx,),
         in_specs=[
-            pl.BlockSpec((1, 2), lambda i: (i, 0)),
-            pl.BlockSpec((V, C), lambda i: (0, 0)),
-            pl.BlockSpec((V, 2), lambda i: (0, 0)),
-            pl.BlockSpec((nsub * C, ch0), lambda i: (0, 0)),
+            pl.BlockSpec(memory_space=pltpu.HBM),       # table (HBM)
+            pl.BlockSpec((nsub * C, ch0), lambda i, se_ref: (0, 0)),
         ],
-        out_specs=pl.BlockSpec((dy, ch0), lambda i: (i, 0)),
+        out_specs=pl.BlockSpec((dy, ch0), lambda i, se_ref: (i, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((max_rows + 8, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+    out = pl.pallas_call(
+        functools.partial(_stem_kernel, max_rows=max_rows, C=C, ch0=ch0),
+        grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((batch_size * dx * dy, ch0),
                                        jnp.float32),
         interpret=interpret,
-    )(se, feats, meta, weight.reshape(nsub * C, ch0).astype(jnp.float32))
+    )(se, table, weight.reshape(nsub * C, ch0).astype(jnp.float32))
     return out.reshape(batch_size, dx, dy, ch0).astype(voxel_features.dtype)
